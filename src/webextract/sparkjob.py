@@ -1,0 +1,154 @@
+"""The Spark extraction job: one fused Arrow-batched stage, scale-first.
+
+Plan shape (SURVEY.md §3.1 translation of the reference's
+``ExtractionOrchestrator.run``, ``extraction_orchestrator.py:211-242``)::
+
+    scan(web_pages)                       # parquet/Iceberg; pruned columns
+      → [salted repartition on url hash]  # defuse domain skew (north rule)
+      → mapInPandas(extract_batch)        # fused parse→clean→segment,
+                                          #   per-row failure capture
+      → write (ok rows / error rows)
+
+Scale notes
+-----------
+- ONE ``mapInPandas`` stage: html bytes cross the JVM↔Python Arrow boundary
+  exactly once (the reference fuses read∘convert the same way in ``_ingest``,
+  ``extraction_orchestrator.py:130-149``).
+- The repartition hashes ``xxhash64(url, salt)``: url is effectively unique,
+  so partitions are uniform even when one domain dominates the crawl
+  (domain skew). At 10^12 docs the partition count is a function of input
+  bytes, not hardcoded — ``pick_partitions`` below.
+- No per-row Python UDFs anywhere; the per-document loop lives *inside* the
+  batch function over a pandas block (input hint's accepted reading).
+- Per-row failure isolation: the batch fn never throws for a document;
+  ``status``/``error`` columns carry the outcome
+  (reference semantic ``extraction_orchestrator.py:232-242``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .extract import extract_document
+
+# Output schema (FIXTURES.md §3) + content_type/partition_id diagnostics.
+SPAN_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ])
+)
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("spans", SPAN_TYPE),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("html_bytes", T.LongType()),
+    T.StructField("partition_id", T.IntegerType()),
+])
+
+# Default salt for the url-hash repartition; a fixed literal keeps runs
+# deterministic while still decorrelating from any upstream url-hash layout.
+DEFAULT_SALT = 0x5EED
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: vectorized over Arrow batches, loop inside the batch.
+
+    Runs on executors; must import nothing driver-local. TaskContext gives the
+    physical partition id for the metrics/lineage tables.
+    """
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        n = len(pdf)
+        texts: list[str] = [""] * n
+        spans: list[list] = [[] for _ in range(n)]
+        status: list[str] = [""] * n
+        error: list[str | None] = [None] * n
+        ctype: list[str] = [""] * n
+        nblocks: list[int] = [0] * n
+        nbytes: list[int] = [0] * n
+        htmls = pdf["html"].to_numpy()
+        for i in range(n):
+            raw = htmls[i]
+            raw = bytes(raw) if raw is not None else b""
+            res = extract_document(raw)
+            texts[i] = res.text
+            spans[i] = [
+                {"start": s, "end": e, "kind": k} for (s, e, k) in res.spans
+            ]
+            status[i] = res.status
+            error[i] = res.error
+            ctype[i] = res.content_type
+            nblocks[i] = res.n_blocks
+            nbytes[i] = len(raw)
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "text": texts,
+            "spans": spans,
+            "status": status,
+            "error": error,
+            "content_type": ctype,
+            "n_blocks": nblocks,
+            "html_bytes": nbytes,
+            "partition_id": pid,
+        })
+
+
+def pick_partitions(df: DataFrame, target_bytes: int = 96 * 1024 * 1024,
+                    default: int = 32) -> int:
+    """Partition count from input size, not a constant.
+
+    At 100 TB this is what keeps per-task work bounded (~96 MiB of html per
+    task); locally it collapses to the core count. Uses the relation's
+    optimizer byte statistics (file size for parquet scans) — no data read.
+    """
+    try:
+        nbytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        nbytes = int(min(nbytes, 1 << 60))
+    except Exception:  # noqa: BLE001 — stats unavailable → fall back
+        return default
+    return max(default, min(1_000_000, nbytes // target_bytes + 1))
+
+
+def extract_df(pages: DataFrame, *, salt: int = DEFAULT_SALT,
+               num_partitions: int | None = None,
+               repartition: bool = True) -> DataFrame:
+    """web_pages DataFrame → extracted DataFrame (lazy; no action here).
+
+    ``repartition=False`` skips the shuffle — correct when the input is
+    already well-balanced (e.g. freshly scanned uniform parquet); the salted
+    url-hash shuffle is for skewed/clustered layouts (one domain per input
+    file is common in crawl dumps).
+    """
+    cols = ["url", "warc_ts", "lang", "html"]  # column pruning to the scan
+    df = pages.select(*cols)
+    if repartition:
+        n = num_partitions or pick_partitions(df)
+        df = df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt)))
+    return df.mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def split_errors(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ok rows vs DLQ rows (reference DLQ pattern,
+    ``docs/guides/production-patterns.md:480-608``)."""
+    ok = extracted.filter(F.col("status") == "ok")
+    errs = extracted.filter(F.col("status") != "ok").select(
+        "url", "warc_ts", "status", "error", "html_bytes", "partition_id"
+    )
+    return ok, errs
