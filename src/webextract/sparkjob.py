@@ -73,6 +73,10 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     for pdf in batches:
+        # lineage bucket passthrough: if the input already carries a
+        # data-keyed partition_id (runner.bucket_col), keep it; else report
+        # the physical partition id.
+        pid_col = pdf["partition_id"] if "partition_id" in pdf.columns else pid
         n = len(pdf)
         texts: list[str] = [""] * n
         spans: list[list] = [[] for _ in range(n)]
@@ -106,7 +110,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "content_type": ctype,
             "n_blocks": nblocks,
             "html_bytes": nbytes,
-            "partition_id": pid,
+            "partition_id": pid_col,
         })
 
 
@@ -137,6 +141,8 @@ def extract_df(pages: DataFrame, *, salt: int = DEFAULT_SALT,
     file is common in crawl dumps).
     """
     cols = ["url", "warc_ts", "lang", "html"]  # column pruning to the scan
+    if "partition_id" in pages.columns:
+        cols.append("partition_id")  # lineage bucket passthrough
     df = pages.select(*cols)
     if repartition:
         n = num_partitions or pick_partitions(df)
