@@ -1,38 +1,144 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction + evaluation job over the
+deterministic synthetic Common-Crawl-style corpus (BASELINE.json input_hint;
+the table is synthesized because the driver's testdata has no web-pages
+table). ``queries()``/``oracle_sql()`` expose the operator registry from
+:mod:`webextract.queries` (relational surface + training-data ops), checked
+against DuckDB by the driver at sf0.01; extraction-specific entries are
+rows-only (non-SQL-expressible) and are byte-identity-tested in pytest.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+_CORPUS_BASE_DOCS = 60_000  # docs at sf=1.0; sf0.01 → 600 docs
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Executors need the webextract package (the driver's SparkSession may
+    not have been built by webextract.session.get_spark)."""
+    from webextract.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    return float(m.group(1)) if m else 0.001
+
+
+def _corpus_df(spark: SparkSession, n_docs: int, seed: int = 42):
+    """Synthesize the web_pages + truth tables as DataFrames (deterministic)."""
+    from pyspark.sql import types as T
+
+    from webextract.corpus import make_corpus
+
+    pages, truth = make_corpus(n_docs, seed=seed)
+    pages_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    span_t = T.ArrayType(T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ]))
+    truth_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("expected_text", T.StringType()),
+        T.StructField("expected_spans", span_t),
+        T.StructField("case", T.StringType()),
+    ])
+    pages_df = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in pages],
+        pages_schema,
+    )
+    truth_df = spark.createDataFrame(
+        [
+            (
+                t["url"],
+                t["expected_text"],
+                None if t["expected_spans"] is None else [
+                    (s["start"], s["end"], s["kind"]) for s in t["expected_spans"]
+                ],
+                t["case"],
+            )
+            for t in truth
+        ],
+        truth_schema,
+    )
+    return pages_df, truth_df
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize sf0.001-scale corpus → extract → evaluate.
+
+    Returns per-url results with evaluation columns; driver checks rows>0.
+    """
+    from webextract.evaluate import per_doc_metrics
+    from webextract.sparkjob import extract_df
+
+    _ship_package(spark)
+    pages, truth = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * 0.001)))
+    extracted = extract_df(pages, num_partitions=8)
+    metrics = per_doc_metrics(extracted, truth)
+    return metrics.select(
+        "url", "status", "exact_match", "len_ratio_ok", "similarity",
+        "span_count_match",
+    )
+
+
+# --------------------------------------------------------------------------
+# extraction-engine queries (rows-only: no SQL equivalent for the HTML/PDF
+# parse itself; correctness is the pytest byte-identity gate)
+# --------------------------------------------------------------------------
+
+def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webextract.sparkjob import extract_df
+
+    _ship_package(spark)
+    pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    ex = extract_df(pages, num_partitions=16)
+    return ex.select("url", "status", "content_type", "n_blocks",
+                     F.length("text").alias("text_len"))
+
+
+def _q_extract_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webextract.evaluate import evaluate
+    from webextract.sparkjob import extract_df
+
+    _ship_package(spark)
+    pages, truth = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    extracted = extract_df(pages, num_partitions=16)
+    _long, summary = evaluate(extracted.filter(F.col("status") == "ok"), truth)
+    return summary
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webextract import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(q.queries())
+    out["q90_extract_corpus"] = _q_extract_corpus
+    out["q91_extract_eval_rollup"] = _q_extract_eval_rollup
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webextract import queries as q
+
+    return dict(q.oracle_sql())

@@ -1,0 +1,563 @@
+"""Driver-checkable query registry: Spark DataFrame impl + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2.2 (the relational
+surface of the engine) or one training-data-pipeline operation (dedup,
+similarity, text analytics) over the driver's testdata tables. The Spark side
+is written DataFrame-first; the oracle is independent ANSI SQL for DuckDB.
+
+Portability rules that make value-hash comparison exact:
+- money aggregates are computed in DECIMAL (exact) and only cast to double
+  at the end, so Spark's partial aggregation order can't produce float drift
+  vs DuckDB's sequential sum;
+- float outputs that cannot be exact (similarity ratios, averages) are
+  rounded to a fixed scale on BOTH sides;
+- every computed column is aliased identically on both sides (driver compares
+  schemas by sorted column name);
+- top-k queries carry total tie-breaks so LIMIT cuts identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → rows-only check (non-SQL-expressible)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(spark=fn, sql=sql, doc=doc)
+        return fn
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.2): scan/filter/project, agg, join,
+# window, sort/top-k, set ops, anti-join, rollup
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="hash aggregate with map-side combine; filter pushed to scan (TPC-H Q1 shape)",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)
+                  * (F.lit(1) - F.col("l_discount").cast(_DEC)))
+             .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="broadcast equi-join (small dim) + aggregation",
+)
+def q02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q03_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, c.c_custkey
+    LIMIT 10
+    """,
+    doc="join + agg + total-order top-k (ties broken by key: LIMIT cuts identically)",
+)
+def q03(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_dec"))
+    )
+    return (
+        rev.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q04_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="window dedupe — the recrawl 'latest per url' pattern on the events table",
+)
+def q04(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "q05_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    """,
+    doc="left-anti join — the lineage resume pattern (pending = all minus completed)",
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 400000.0)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q06_filtered_events",
+    """
+    SELECT event_id, user_id, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM events WHERE event_type = 'purchase' AND value > 150.0
+    """,
+    doc="projection + predicate pushdown to the parquet scan",
+)
+def q06(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+        .select("event_id", "user_id", F.round("value", 2).cast("double").alias("value"))
+    )
+
+
+@register(
+    "q07_event_type_setops",
+    """
+    SELECT event_type FROM events WHERE value > 150.0
+    EXCEPT
+    SELECT event_type FROM events WHERE value > 360.0
+    """,
+    doc="set operations (EXCEPT/distinct)",
+)
+def q07(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hi = e.filter(F.col("value") > 150.0).select("event_type")
+    vhi = e.filter(F.col("value") > 360.0).select("event_type")
+    return hi.distinct().exceptAll(vhi.distinct())
+
+
+@register(
+    "q08_event_rollup",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY ROLLUP (event_type)
+    """,
+    doc="rollup / grouping sets (super-aggregate row included)",
+)
+def q08(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.rollup("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analytics over `documents` (training-data pipeline operations).
+# Portability: token counts via regex split, stopword hits via replace-length
+# arithmetic (replace is leftmost-non-overlapping in both engines), ratios as
+# exact-int divisions rounded to a fixed scale.
+# --------------------------------------------------------------------------
+
+def _tok_count_spark(col):
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+_TOK_COUNT_SQL = ("CASE WHEN length(trim({c})) = 0 THEN 0 "
+                  "ELSE len(string_split_regex(trim({c}), '\\s+')) END")
+
+
+def _hits_spark(col, word: str):
+    """Occurrences of ` word ` in the space-padded lowercased text."""
+    pad = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    pat = f" {word} "
+    return ((F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))).cast("long")
+
+
+def _hits_sql(c: str, word: str) -> str:
+    pat = f" {word} "
+    return (f"CAST((length(' ' || lower({c}) || ' ') - "
+            f"length(replace(' ' || lower({c}) || ' ', '{pat}', ''))) / {len(pat)} AS BIGINT)")
+
+
+@register(
+    "q09_doc_stats_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="corpus profiling aggregate (per-language doc stats)",
+)
+def q09(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).cast("double").alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q10_token_counts",
+    f"""
+    SELECT doc_id, {_TOK_COUNT_SQL.format(c='text')} AS n_tokens
+    FROM documents
+    """,
+    doc="whitespace tokenization (token counting for training-data budgeting)",
+)
+def q10(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _tok_count_spark(F.col("text")).alias("n_tokens"))
+
+
+_EN_STOPS = ["the", "and", "of", "to", "in"]
+
+
+@register(
+    "q11_quality_scores",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           {_TOK_COUNT_SQL.format(c='text')} AS n_tokens,
+           ({' + '.join(_hits_sql('text', w) for w in _EN_STOPS)}) AS stopword_hits,
+           CAST(ROUND(
+             CASE WHEN {_TOK_COUNT_SQL.format(c='text')} = 0 THEN 0.0
+                  ELSE ({' + '.join(_hits_sql('text', w) for w in _EN_STOPS)})
+                       / CAST({_TOK_COUNT_SQL.format(c='text')} AS DOUBLE) END, 6)
+             AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+    doc="quality scoring: length, token count, stopword ratio (C4/Gopher-style signals)",
+)
+def q11(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ntok = _tok_count_spark(F.col("text"))
+    hits = sum((_hits_spark(F.col("text"), w) for w in _EN_STOPS[1:]),
+               _hits_spark(F.col("text"), _EN_STOPS[0]))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        ntok.alias("n_tokens"),
+        hits.alias("stopword_hits"),
+        F.round(
+            F.when(ntok == 0, F.lit(0.0)).otherwise(hits / ntok.cast("double")), 6
+        ).cast("double").alias("stopword_ratio"),
+    )
+
+
+_LANG_STOPS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+
+@register(
+    "q12_langid_heuristic",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {', '.join(
+                 f"({' + '.join(_hits_sql('text', w) for w in ws)}) AS hits_{lg}"
+                 for lg, ws in _LANG_STOPS.items())}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hits_en + hits_es + hits_de + hits_fr = 0 THEN 'unknown'
+                WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+    doc="n-gram/stopword language-ID heuristic with deterministic tie-breaks",
+)
+def q12(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        *[
+            sum((_hits_spark(F.col("text"), w) for w in ws[1:]),
+                _hits_spark(F.col("text"), ws[0])).alias(f"hits_{lg}")
+            for lg, ws in _LANG_STOPS.items()
+        ],
+    )
+    h = {lg: F.col(f"hits_{lg}") for lg in _LANG_STOPS}
+    pred = (
+        F.when(h["en"] + h["es"] + h["de"] + h["fr"] == 0, F.lit("unknown"))
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), F.lit("en"))
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), F.lit("es"))
+        .when(h["de"] >= h["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication + similarity (see webextract.dedup / webextract.sim for the
+# engine implementations; these registry entries are the oracle-checked
+# DataFrame forms over the driver's tables)
+# --------------------------------------------------------------------------
+
+@register(
+    "q13_exact_dedup",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,
+           CAST(doc_id != MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS INT)
+             AS is_duplicate
+    FROM documents
+    """,
+    doc="exact dedup via group-min canonicalization on normalized text",
+)
+def q13(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.lower(F.trim(F.col("text"))))
+    cid = F.min("doc_id").over(w)
+    return d.select(
+        "doc_id", cid.alias("canonical_id"),
+        (F.col("doc_id") != cid).cast("int").alias("is_duplicate"),
+    )
+
+
+_JACCARD_TAU = 0.5
+_MAX_GRAM_DF = 50  # stop-gram pruning: ignore bigrams present in > N docs
+
+
+@register(
+    "q14_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), gdf AS (
+      SELECT g, COUNT(*) AS d FROM grams GROUP BY g
+    ), gf AS (
+      SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g)
+      WHERE gdf.d <= {_MAX_GRAM_DF}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.intersection,
+           CAST(ROUND(p.intersection / (sa.n + sb.n - p.intersection), 6) AS DOUBLE)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.intersection / (sa.n + sb.n - p.intersection) >= {_JACCARD_TAU}
+    """,
+    doc="near-dup detection: word-bigram set-similarity join with stop-gram pruning",
+)
+def q14(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t) - 2), i -> concat(t[i], '_', t[i+1]))"
+        )).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    gdf = grams.groupBy("g").agg(F.count("*").alias("d"))
+    gf = grams.join(gdf.filter(F.col("d") <= _MAX_GRAM_DF).select("g"), "g")
+    a = gf.select(F.col("doc_id").alias("doc_a"), "g")
+    b = gf.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("intersection") / (F.col("na") + F.col("nb") - F.col("intersection"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "intersection",
+                F.round(jac, 6).cast("double").alias("jaccard"))
+    )
+
+
+def _dot_expr(a: str, b: str):
+    """Sequential left-fold dot product (matches DuckDB list_dot_product)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "q15_cosine_topk",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e, q WHERE e.vec_id != 0
+    )
+    SELECT vec_id, label, CAST(ROUND(cos, 9) AS DOUBLE) AS cosine
+    FROM scored ORDER BY ROUND(cos, 9) DESC, vec_id LIMIT 20
+    """,
+    doc="brute-force cosine top-k ANN baseline over the embedding column",
+)
+def q15(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow.embedding]
+    lit_q = F.array(*[F.lit(x).cast("double") for x in qv])
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("qv", lit_q)
+        .withColumn(
+            "cos",
+            _dot_expr("embedding", "qv")
+            / (F.sqrt(_dot_expr("embedding", "embedding")) * F.sqrt(_dot_expr("qv", "qv"))),
+        )
+    )
+    return (
+        scored.orderBy(F.round(F.col("cos"), 9).desc(), F.col("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", F.round("cos", 9).cast("double").alias("cosine"))
+    )
+
+
+_COS_PAIR_TAU = 0.45
+
+
+@register(
+    "q16_embedding_near_pairs",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS DOUBLE)
+             AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {_COS_PAIR_TAU}
+    """,
+    doc="embedding near-dup pairs with label blocking (the LSH-bucket analog)",
+)
+def q16(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn("nrm", F.sqrt(_dot_expr("e", "e")))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= _COS_PAIR_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 9).cast("double").alias("cosine"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in _REGISTRY.items() if spec.sql is not None}

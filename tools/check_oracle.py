@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Replicate the driver's correctness gate locally: run each __spark_entry__
+query on Spark AND its oracle SQL on DuckDB over the same parquet tables;
+compare row count, sorted column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    """Canonicalize a cell so Spark and DuckDB representations compare equal."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from webextract.session import get_spark
+
+    spark = get_spark(app="check-oracle", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if args.only and args.only not in name:
+            continue
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            if len(srows) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        ok_vals = ok_count and ok_schema and rows_canon(scols, srows) == rows_canon(dcols, drows)
+        status = "OK  " if (ok_count and ok_schema and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status}  {name}: rows {len(srows)}/{len(drows)} "
+              f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+              f"values={'ok' if ok_vals else 'MISMATCH'}")
+        if not ok_vals and ok_count and ok_schema:
+            a = rows_canon(scols, srows)
+            b = rows_canon(dcols, drows)
+            for x, y in zip(a, b):
+                if x != y:
+                    print(f"      spark:  {x[:160]}")
+                    print(f"      duckdb: {y[:160]}")
+                    break
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()
