@@ -1,0 +1,227 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, all pure DataFrame/SQL-function pipelines (JVM-side, no Python
+UDFs — the hashing is ``xxhash64``/bit arithmetic inside whole-stage
+codegen):
+
+- :func:`exact_duplicates`      — hash-groupBy canonicalization.
+- :func:`jaccard_pairs`         — exact n-gram set-similarity join
+                                  (quadratic per shared gram; small/medium).
+- :func:`minhash_lsh_pairs`     — MinHash signatures + banded LSH: candidate
+                                  generation cost is linear in corpus size;
+                                  the scale path for 10^12 docs.
+- :func:`simhash_buckets`       — 64-bit SimHash fingerprints + band keys for
+                                  Hamming-distance blocking.
+
+MinHash math: for each of ``num_perm`` permutations ``h_i(x) = xxhash64(x, i)``,
+the signature keeps ``min_x h_i(x)`` over the doc's shingle set; banded LSH
+groups ``num_perm = bands × rows_per_band`` values so two docs collide in some
+band with probability ``1 - (1 - j^r)^b`` (j = true Jaccard). With 16 bands ×
+4 rows, j=0.8 collides with p≈0.9996, j=0.3 with p≈0.12 — the standard
+near-dup operating point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "url") -> DataFrame:
+    """Canonical id per normalized-text group; is_duplicate flag per row.
+
+    One shuffle on the normalized text hash; at scale, group on
+    ``xxhash64(norm_text)`` instead of the full string to cut shuffle bytes.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    key = F.xxhash64(norm).alias("text_hash")
+    with_key = df.select(F.col(id_col).alias("id"), key)
+    canon = with_key.groupBy("text_hash").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        with_key.join(canon, "text_hash")
+        .select(
+            F.col("id").alias(id_col),
+            "canonical_id",
+            (F.col("id") != F.col("canonical_id")).cast("int").alias("is_duplicate"),
+            "group_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard + minhash + simhash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "url",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col).alias("id"), F.split(F.trim(text_col), r"\s+").alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    parts = ", ".join(f"t[i + {k}]" for k in range(n))
+    return toks.select(
+        "id",
+        F.explode(
+            F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws('_', {parts}))")
+        ).alias("shingle"),
+    ).distinct()
+
+
+def jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
+                  n: int = 3, tau: float = 0.8, max_df: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard similarity join with stop-gram pruning.
+
+    ``max_df`` drops shingles occurring in more than that many docs — the
+    standard guard against quadratic blowup on boilerplate-common grams.
+    """
+    g = shingles(df, text_col, id_col, n)
+    sizes = g.groupBy("id").agg(F.count("*").alias("n_sh"))
+    gdf = g.groupBy("shingle").agg(F.count("*").alias("df_"))
+    gf = g.join(gdf.filter(F.col("df_") <= max_df).select("shingle"), "shingle")
+    a = gf.select(F.col("id").alias("id_a"), "shingle")
+    b = gf.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("intersection") / (F.col("na") + F.col("nb") - F.col("intersection"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= tau)
+        .select("id_a", "id_b", "intersection", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "url", n: int = 3,
+                       num_perm: int = 64) -> DataFrame:
+    """(id, sig: array<long>) — num_perm column-wise minima of seeded hashes.
+
+    One aggregation over the shingle table; each permutation is
+    ``xxhash64(shingle, seed_i)``, all JVM-side.
+    """
+    g = shingles(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = g.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "url", n: int = 3, num_perm: int = 64,
+                      bands: int = 16, verify_tau: float | None = 0.8) -> DataFrame:
+    """Candidate pairs via banded LSH; optionally verified with signature
+    similarity (fraction of matching minhashes ≈ Jaccard estimate).
+
+    Scale shape: explode to ``bands`` rows per doc, hash each band slice to a
+    bucket key, self-join per bucket — candidates are only docs sharing a
+    band bucket, never the full cross product.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n,
+                             num_perm=num_perm)
+    band_cols = [
+        F.xxhash64(
+            F.lit(bidx),
+            *[F.col("sig")[bidx * rows_per_band + r] for r in range(rows_per_band)],
+        ).alias(f"b{bidx}")
+        for bidx in range(bands)
+    ]
+    banded = sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v))
+        / F.lit(num_perm)
+    ).alias("est_jaccard")
+    out = cand.select("id_a", "id_b", est)
+    if verify_tau is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_tau)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
+            n: int = 2, bands: int = 4) -> DataFrame:
+    """(id, simhash: long, band0..band{k}) — 64-bit SimHash + Hamming bands.
+
+    SimHash bit b is 1 iff the majority of the doc's shingle hashes have bit
+    b set. Two docs within Hamming distance < bands share at least one exact
+    band (pigeonhole), so equality on any band column blocks candidates.
+    Implemented as 64 conditional sums over the shingle table — heavy but
+    entirely JVM-side; band keys are bit-slices of the final fingerprint.
+    """
+    g = shingles(df, text_col, id_col, n)
+    h = g.select("id", F.xxhash64("shingle").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("id").agg(*bit_sums, F.count("*").alias("n_sh"))
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    out = agg.select("id", fp.alias("simhash"), "n_sh")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    for k in range(bands):
+        out = out.withColumn(
+            f"band{k}",
+            F.shiftright(F.col("simhash"), k * width).bitwiseAND(F.lit(mask)),
+        )
+    return out
+
+
+def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
+                  n: int = 2, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: band-equality blocking, exact Hamming verification."""
+    s = simhash(df, text_col=text_col, id_col=id_col, n=n, bands=bands)
+    pairs = None
+    for k in range(bands):
+        a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"),
+                     F.col(f"band{k}").alias("bk"))
+        b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"),
+                     F.col(f"band{k}").alias("bk"))
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -555,6 +555,52 @@ def q16(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Hash-based dedup & ANN (rows-only: xxhash64/LSH have no DuckDB equivalent;
+# correctness is pytest-verified against exact Jaccard / exact cosine —
+# tests/test_dedup_sim.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "q17_minhash_near_pairs",
+    None,
+    doc="MinHash(64)+LSH(16 bands) near-dup candidates over documents; "
+        "pytest-verified recall vs exact Jaccard (test_minhash_on_driver_documents)",
+)
+def q17(spark, sf_dir):
+    from .dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, text_col="text", id_col="doc_id", n=2,
+                             num_perm=64, bands=16, verify_tau=0.7)
+
+
+@register(
+    "q18_simhash_fingerprints",
+    None,
+    doc="64-bit SimHash fingerprints + Hamming band keys over documents",
+)
+def q18(spark, sf_dir):
+    from .dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, text_col="text", id_col="doc_id", n=2, bands=16)
+
+
+@register(
+    "q19_ann_topk",
+    None,
+    doc="LSH-bucketed approximate cosine top-k vs exact baseline q15; "
+        "pytest-verified recall (test_ann_topk_matches_exact_on_clusters)",
+)
+def q19(spark, sf_dir):
+    from .sim import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ann_topk(e, q, k=20, n_planes=6, probe_hamming=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

@@ -1,0 +1,155 @@
+"""Dedup + similarity-search tests with planted duplicates and clusters."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from webextract.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from webextract.sim import ann_topk, cosine_topk, pairwise_near
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic doc table with planted exact and near duplicates."""
+    r = random.Random("dedup-fixture")
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+             "xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+    rows = []
+    originals = []
+    for i in range(60):
+        text = " ".join(r.choice(words) for _ in range(80))
+        originals.append(text)
+        rows.append((f"doc{i:03d}", text))
+    # exact duplicates: docs 100..104 copy docs 0..4
+    for i in range(5):
+        rows.append((f"dup{i:03d}", originals[i]))
+    # near duplicates: docs 200..204 = docs 10..14 with 3 words changed
+    for i in range(5):
+        toks = originals[10 + i].split()
+        for k in (7, 23, 61):
+            toks[k] = "REPLACED"
+        rows.append((f"near{i:03d}", " ".join(toks)))
+    # single-word edits (SimHash-tier near dups): docs 20..24 with 1 change
+    for i in range(5):
+        toks = originals[20 + i].split()
+        toks[7] = "REPLACED"
+        rows.append((f"sim{i:03d}", " ".join(toks)))
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).cache()
+    dups = {r.url: r.canonical_id for r in out.filter("is_duplicate = 1").collect()}
+    assert set(dups) == {f"dup{i:03d}" for i in range(5)}
+    for i in range(5):
+        assert dups[f"dup{i:03d}"] == f"doc{i:03d}"
+    assert out.filter("is_duplicate = 0").count() == 70
+
+
+def test_jaccard_pairs_finds_planted(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(docs, tau=0.7, max_df=10_000).collect()}
+    for i in range(5):
+        assert (f"doc{i:03d}", f"dup{i:03d}") in pairs           # exact copies
+    for i in range(5):
+        assert (f"doc{10+i:03d}", f"near{i:03d}") in pairs       # near dups
+    for i in range(5):
+        assert (f"doc{20+i:03d}", f"sim{i:03d}") in pairs        # 1-word edits
+    # unrelated random docs must not pair at tau=0.7
+    assert len(pairs) == 15
+
+
+def test_minhash_lsh_recall_and_estimate(docs):
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, tau=0.7, max_df=10_000).collect()}
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in
+           minhash_lsh_pairs(docs, num_perm=64, bands=16, verify_tau=0.5).collect()}
+    for pair, true_j in exact.items():
+        assert pair in got, f"LSH missed high-jaccard pair {pair} (j={true_j})"
+        assert abs(got[pair] - true_j) < 0.25  # 64-perm estimator tolerance
+    # no wild false positives after verification
+    for pair, est in got.items():
+        assert est >= 0.5
+
+
+def test_minhash_on_driver_documents(spark):
+    """The testdata documents table has planted near-dups (jaccard≈0.99);
+    MinHash-LSH must recover every pair that exact Jaccard finds at τ=0.8."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(d, text_col="text", id_col="doc_id",
+                           n=2, tau=0.8, max_df=50).collect()}
+    assert exact, "expected planted near-dup pairs in documents"
+    got = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(d, text_col="text", id_col="doc_id",
+                             n=2, num_perm=64, bands=16, verify_tau=0.7).collect()}
+    assert exact <= got
+
+
+def test_simhash_pairs(docs):
+    """16 4-bit bands guarantee a shared band up to hamming 15 (pigeonhole);
+    1-word edits land well inside a 10-bit budget on these 80-token docs."""
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_pairs(docs, n=2, bands=16, max_hamming=10).collect()}
+    for i in range(5):  # exact copies: identical fingerprint
+        assert got.get((f"doc{i:03d}", f"dup{i:03d}")) == 0
+    for i in range(5):  # single-word edits: within the hamming budget
+        assert (f"doc{20+i:03d}", f"sim{i:03d}") in got
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """5 clusters of 20 vectors each, tight noise — ANN ground truth known."""
+    r = random.Random("sim-fixture")
+    dim = 32
+    centers = [[r.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    rows = []
+    for c, center in enumerate(centers):
+        for i in range(20):
+            vec = [x + r.gauss(0, 0.05) for x in center]
+            rows.append((c * 100 + i, c, vec))
+    return spark.createDataFrame(rows, "vec_id int, cluster int, embedding array<double>"), centers
+
+
+def test_cosine_topk_exact(clustered_embeddings):
+    df, centers = clustered_embeddings
+    top = cosine_topk(df, centers[2], k=20).collect()
+    assert len(top) == 20
+    assert all(200 <= r.vec_id < 300 for r in top)  # all from cluster 2
+    assert all(r.cosine > 0.9 for r in top)
+
+
+def test_ann_topk_matches_exact_on_clusters(clustered_embeddings):
+    df, centers = clustered_embeddings
+    exact = [r.vec_id for r in cosine_topk(df, centers[1], k=10).collect()]
+    approx = [r.vec_id for r in ann_topk(df, centers[1], k=10, n_planes=6,
+                                         probe_hamming=2).collect()]
+    # tight clusters: multi-probe LSH must recover most of the exact set
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_pairwise_near_with_blocking(clustered_embeddings):
+    df, _ = clustered_embeddings
+    pairs = pairwise_near(df, tau=0.95, block_col="cluster")
+    rows = pairs.collect()
+    assert rows
+    # same-cluster pairs only (blocking respected) and symmetric-free
+    for r in rows:
+        assert r.id_a // 100 == r.id_b // 100
+        assert r.id_a < r.id_b
+
+
+def test_embeddings_table_topk(spark):
+    """Smoke the similarity path on the driver's embeddings table."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in e.filter("vec_id = 0").first().embedding]
+    top = cosine_topk(e, q, k=5).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-9
