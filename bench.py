@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction job + registry queries.
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {"extract": sec, "q01_...": sec, ...}, "sf": <sf>,
+   "extract_docs_per_sec": <docs/sec>, "cpus": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_QUERIES      (comma list / "none" to skip registry queries),
+     BENCH_DOCS         (override corpus size for the extraction bench).
+
+The extraction bench reads a pre-materialized parquet corpus (generation is
+excluded from timing), runs scan → salted repartition → mapInPandas → noop
+sink, and reports docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+
+def corpus_parquet(n_docs: int, seed: int = 42, content_scale: int = 1) -> str:
+    """Materialize (once per size) the synthetic corpus under /tmp."""
+    from webextract.corpus import write_corpus_parquet
+
+    d = os.path.join(tempfile.gettempdir(),
+                     f"webextract_bench_{n_docs}_{seed}_{content_scale}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus_parquet(d, n_docs, seed=seed, content_scale=content_scale)
+        open(marker, "w").close()
+    return os.path.join(d, "web_pages.parquet")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(200, int(60_000 * sf)))))
+    content_scale = int(os.environ.get("BENCH_CONTENT_SCALE", "1"))
+
+    pages_path = corpus_parquet(n_docs, content_scale=content_scale)
+
+    from webextract.session import get_spark
+    from webextract.sparkjob import extract_df
+
+    # html-heavy scans want smaller splits than the 128 MiB default so scan
+    # parallelism covers the executor count even on modest inputs
+    mpb = int(float(os.environ.get("BENCH_MAX_PARTITION_MB", "8")) * 1024 * 1024)
+    spark = get_spark(app="webextract-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra={"spark.sql.files.maxPartitionBytes": str(mpb)})
+
+    timings: dict[str, float] = {}
+
+    # -- headline: extraction throughput ---------------------------------
+    pages = spark.read.parquet(pages_path)
+    n_rows = pages.count()
+    # warm-up: spin up every Python worker and exercise the full path, so the
+    # timed run measures steady-state throughput (worker pool is reused)
+    extract_df(pages.limit(cpus * 128), num_partitions=cpus).write \
+        .format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    extract_df(pages, num_partitions=cpus * 2).write.format("noop") \
+        .mode("overwrite").save()
+    t_extract = time.perf_counter() - t0
+    timings["extract"] = round(t_extract, 3)
+    docs_per_sec = n_rows / t_extract
+
+    # -- registry queries -------------------------------------------------
+    sel = os.environ.get("BENCH_QUERIES", "")
+    if sel != "none":
+        import __spark_entry__ as entry
+
+        wanted = set(sel.split(",")) if sel else None
+        for name, fn in entry.queries().items():
+            if wanted and name not in wanted:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    out = {
+        "metric": "e2e_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": n_rows,
+        "extract_docs_per_sec": round(docs_per_sec, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""spark-submit entrypoint: ``python -m webextract.cli <cmd> ...``.
+
+Deployment shape per the north rule: ``spark-submit --py-files
+webextract.zip -m webextract.cli`` on a real cluster; locally the module
+builds its own session. Subcommands mirror the reference's two orchestrators
+(extract / evaluate, reference ``runners/``) plus corpus synthesis.
+
+Examples::
+
+    python -m webextract.cli synth   --out /tmp/corpus --docs 10000
+    python -m webextract.cli extract --input /tmp/corpus/web_pages.parquet \
+        --output-root /tmp/out --run-id run1 --waves 4
+    python -m webextract.cli evaluate --extracted-root /tmp/out --run-id run1 \
+        --truth /tmp/corpus/truth.parquet --report /tmp/out/eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app=f"webextract-{args.cmd}",
+                     master=args.master,
+                     extra={"spark.sql.files.maxPartitionBytes":
+                            str(args.max_partition_mb * 1024 * 1024)}
+                     if args.max_partition_mb else None)
+
+
+def cmd_synth(args) -> int:
+    from .corpus import write_corpus_parquet
+
+    p, t = write_corpus_parquet(args.out, args.docs, seed=args.seed,
+                                skew=args.skew, content_scale=args.content_scale)
+    print(json.dumps({"web_pages": p, "truth": t, "docs": args.docs}))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from .config import load_pipeline_config
+    from .runner import run_extraction
+
+    cfg = load_pipeline_config(args.config_dir) if args.config_dir else None
+    orch = cfg.orchestrator if cfg else None
+    spark = _spark(args)
+    pages = spark.read.parquet(args.input)
+    stats = run_extraction(
+        spark, pages, args.output_root, args.run_id,
+        n_buckets=args.n_buckets or (orch.n_buckets if orch else 64),
+        waves=args.waves or (orch.waves if orch else 1),
+        salt=orch.salt if orch else 0x5EED,
+        shuffle_partitions=orch.shuffle_partitions if orch else None,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from .evaluate import evaluate
+    from .runner import load_extracted
+
+    spark = _spark(args)
+    extracted = load_extracted(spark, args.extracted_root, args.run_id)
+    truth = spark.read.parquet(args.truth)
+    long_df, summary = evaluate(extracted, truth)
+    long_df.write.mode("overwrite").parquet(f"{args.report}/metrics")
+    summary.write.mode("overwrite").parquet(f"{args.report}/summary")
+    rows = {r.metric_name: round(r.mean_value, 6) for r in summary.collect()}
+    print(json.dumps({"run_id": args.run_id, "mean_metrics": rows}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="webextract")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--max-partition-mb", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="materialize the synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--docs", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--skew", action="store_true")
+    s.add_argument("--content-scale", type=int, default=1)
+
+    e = sub.add_parser("extract", help="run the resumable extraction job")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output-root", required=True)
+    e.add_argument("--run-id", required=True)
+    e.add_argument("--config-dir", default=None)
+    e.add_argument("--n-buckets", type=int, default=None)
+    e.add_argument("--waves", type=int, default=None)
+
+    v = sub.add_parser("evaluate", help="evaluate a finished run against truth")
+    v.add_argument("--extracted-root", required=True)
+    v.add_argument("--run-id", required=True)
+    v.add_argument("--truth", required=True)
+    v.add_argument("--report", required=True)
+
+    args = ap.parse_args(argv)
+    return {"synth": cmd_synth, "extract": cmd_extract, "evaluate": cmd_evaluate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

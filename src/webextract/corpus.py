@@ -123,12 +123,13 @@ def _norm_ws_basic(s: str) -> str:
     return normalize_ws(s)
 
 
-def _content_blocks(r: random.Random, case: str) -> list[tuple[str, str, str]]:
+def _content_blocks(r: random.Random, case: str,
+                    content_scale: int = 1) -> list[tuple[str, str, str]]:
     """Return [(kind, html_fragment, expected_text)], document order."""
     blocks: list[tuple[str, str, str]] = []
     title = _title_text(r)
     blocks.append(("title", f"<h1>{htmlmod.escape(title)}</h1>", title))
-    for _ in range(r.randint(2, 8)):
+    for _ in range(r.randint(2, 8) * content_scale):
         raw = _paragraph_text(r)
         if case == "entities":
             raw = raw.replace(" ", " & ", 1).replace(".", "’s.", 1)
@@ -213,7 +214,8 @@ def _garbage(r: random.Random, n: int = 256) -> bytes:
     return bytes(r.choice(range(0x80, 0xC0)) for _ in range(n))
 
 
-def make_corpus(n: int, seed: int = 42, skew: bool = False):
+def make_corpus(n: int, seed: int = 42, skew: bool = False,
+                content_scale: int = 1):
     """Build the corpus. Returns (pages, truth): lists of dicts.
 
     pages: url, warc_ts, html(bytes), text, lang      (FIXTURES.md §1)
@@ -245,7 +247,8 @@ def make_corpus(n: int, seed: int = 42, skew: bool = False):
             continue
 
         if case == "pdf":
-            paras = [_norm_ws_basic(_paragraph_text(r)) for _ in range(r.randint(2, 4))]
+            paras = [_norm_ws_basic(_paragraph_text(r))
+                     for _ in range(r.randint(2, 4) * content_scale)]
             raw = make_pdf(paras, compress=(i % 2 == 0))
             expected, offs = join_blocks(paras)
             spans = [{"start": s, "end": e, "kind": "paragraph"} for (s, e) in offs]
@@ -253,7 +256,8 @@ def make_corpus(n: int, seed: int = 42, skew: bool = False):
             truth.append(dict(url=url, expected_text=expected, expected_spans=spans, case=case))
             continue
 
-        content = [] if case == "empty_content" else _content_blocks(r, case)
+        content = ([] if case == "empty_content"
+                   else _content_blocks(r, case, content_scale))
         charset = "iso-8859-1" if case == "latin1" else "utf-8"
         if case == "latin1":
             # é/ü guaranteed non-ASCII content
@@ -296,14 +300,16 @@ def make_corpus(n: int, seed: int = 42, skew: bool = False):
 # parquet materialization (pyarrow; no Spark needed for unit tests)
 # ---------------------------------------------------------------------------
 
-def write_corpus_parquet(out_dir: str, n: int, seed: int = 42, skew: bool = False) -> tuple[str, str]:
+def write_corpus_parquet(out_dir: str, n: int, seed: int = 42, skew: bool = False,
+                         content_scale: int = 1,
+                         row_group_rows: int = 1000) -> tuple[str, str]:
     """Write web_pages.parquet + truth.parquet under out_dir; returns paths."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pages, truth = make_corpus(n, seed=seed, skew=skew)
+    pages, truth = make_corpus(n, seed=seed, skew=skew, content_scale=content_scale)
     os.makedirs(out_dir, exist_ok=True)
 
     pages_schema = pa.schema([
@@ -315,7 +321,10 @@ def write_corpus_parquet(out_dir: str, n: int, seed: int = 42, skew: bool = Fals
     ])
     pages_tbl = pa.Table.from_pylist(pages, schema=pages_schema)
     pages_path = os.path.join(out_dir, "web_pages.parquet")
-    pq.write_table(pages_tbl, pages_path)
+    # small row groups: Spark splits parquet at row-group boundaries, so scan
+    # parallelism of a single file is bounded by group count — one giant group
+    # serializes the whole scan into one task
+    pq.write_table(pages_tbl, pages_path, row_group_size=row_group_rows)
 
     span_t = pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
     truth_schema = pa.schema([

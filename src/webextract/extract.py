@@ -73,7 +73,8 @@ def decode_html(raw: bytes) -> str:
     return raw.decode("utf-8")  # strict
 
 
-def extract_document(raw: bytes) -> ExtractResult:
+def extract_document(raw: bytes, *, link_density_max: float = 0.5,
+                     min_chars_linked: int = 25) -> ExtractResult:
     """bytes → main text + spans. Never raises."""
     try:
         if not raw:
@@ -87,7 +88,8 @@ def extract_document(raw: bytes) -> ExtractResult:
         if "<" not in html:
             return ExtractResult(status=STATUS_PARSE_ERROR, error="parse: not html")
         blocks = parse_blocks(html, CLASS_BLOCKLIST)
-        content = select_content(blocks)
+        content = select_content(blocks, link_density_max=link_density_max,
+                                 min_chars_linked=min_chars_linked)
         texts = [t for (_k, t) in content]
         joined, offsets = join_blocks(texts)
         spans = [

@@ -40,8 +40,13 @@ LINK_DENSITY_MAX = 0.5   # B4: >= 0.5 is boilerplate
 MIN_CHARS_LINKED = 25    # B5: shorter than this AND containing a link → drop
 
 
-def is_boilerplate(block: Block) -> bool:
-    """Apply rules B1–B5. Deterministic; no randomness, no global state."""
+def is_boilerplate(block: Block, *, link_density_max: float = LINK_DENSITY_MAX,
+                   min_chars_linked: int = MIN_CHARS_LINKED) -> bool:
+    """Apply rules B1–B5. Deterministic; no randomness, no global state.
+
+    Thresholds are overridable per run via ExtractorConfig (config.py) but
+    default to the byte-identity spec values.
+    """
     if block.boiler_ancestor:
         return True
     if block.own_class and CLASS_BLOCKLIST.search(block.own_class):
@@ -49,21 +54,24 @@ def is_boilerplate(block: Block) -> bool:
     text = normalize_ws(block.raw_text)
     if not text:
         return True
-    if block.total_chars > 0 and block.link_chars / block.total_chars >= LINK_DENSITY_MAX:
+    if block.total_chars > 0 and block.link_chars / block.total_chars >= link_density_max:
         return True
-    if block.total_chars < MIN_CHARS_LINKED and block.link_chars > 0:
+    if block.total_chars < min_chars_linked and block.link_chars > 0:
         return True
     return False
 
 
-def select_content(blocks: list[Block]) -> list[tuple[str, str]]:
+def select_content(blocks: list[Block], *,
+                   link_density_max: float = LINK_DENSITY_MAX,
+                   min_chars_linked: int = MIN_CHARS_LINKED) -> list[tuple[str, str]]:
     """Clean stage: keep content blocks, in document order.
 
     Returns ``[(kind, normalized_text), ...]``.
     """
     out: list[tuple[str, str]] = []
     for b in blocks:
-        if is_boilerplate(b):
+        if is_boilerplate(b, link_density_max=link_density_max,
+                          min_chars_linked=min_chars_linked):
             continue
         out.append((b.kind, normalize_ws(b.raw_text)))
     return out

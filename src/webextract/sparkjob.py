@@ -62,8 +62,26 @@ EXTRACTED_SCHEMA = T.StructType([
 DEFAULT_SALT = 0x5EED
 
 
+def make_extract_batches(link_density_max: float = 0.5,
+                         min_chars_linked: int = 25):
+    """Build the mapInPandas body with extractor thresholds closed over
+    (shipped to executors in the serialized closure — the Spark analog of the
+    reference's PipelineContext passed to every stage)."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_batches(batches, link_density_max, min_chars_linked)
+
+    return extract_batches
+
+
 def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: vectorized over Arrow batches, loop inside the batch.
+    """Default-threshold mapInPandas body (see make_extract_batches)."""
+    return _extract_batches(batches, 0.5, 25)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame], link_density_max: float,
+                     min_chars_linked: int) -> Iterator[pd.DataFrame]:
+    """Vectorized over Arrow batches, per-document loop inside the batch.
 
     Runs on executors; must import nothing driver-local. TaskContext gives the
     physical partition id for the metrics/lineage tables.
@@ -89,7 +107,8 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for i in range(n):
             raw = htmls[i]
             raw = bytes(raw) if raw is not None else b""
-            res = extract_document(raw)
+            res = extract_document(raw, link_density_max=link_density_max,
+                                   min_chars_linked=min_chars_linked)
             texts[i] = res.text
             spans[i] = [
                 {"start": s, "end": e, "kind": k} for (s, e, k) in res.spans
@@ -132,7 +151,9 @@ def pick_partitions(df: DataFrame, target_bytes: int = 96 * 1024 * 1024,
 
 def extract_df(pages: DataFrame, *, salt: int = DEFAULT_SALT,
                num_partitions: int | None = None,
-               repartition: bool = True) -> DataFrame:
+               repartition: bool = True,
+               link_density_max: float = 0.5,
+               min_chars_linked: int = 25) -> DataFrame:
     """web_pages DataFrame → extracted DataFrame (lazy; no action here).
 
     ``repartition=False`` skips the shuffle — correct when the input is
@@ -147,7 +168,8 @@ def extract_df(pages: DataFrame, *, salt: int = DEFAULT_SALT,
     if repartition:
         n = num_partitions or pick_partitions(df)
         df = df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt)))
-    return df.mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+    fn = make_extract_batches(link_density_max, min_chars_linked)
+    return df.mapInPandas(fn, schema=EXTRACTED_SCHEMA)
 
 
 def split_errors(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
