@@ -1,0 +1,137 @@
+"""Text analytics operators: tokenization, quality signals, language ID,
+fingerprints — all built-in Spark column expressions (JVM-side, codegen'd).
+
+These are the corpus-profiling operations a training-data pipeline runs after
+extraction (C4/Gopher-style quality filtering, language routing, token
+budgeting). Each builder returns Columns usable on any DataFrame with a text
+column (the extracted table, the driver's ``documents`` table, …).
+
+Portability note: the arithmetic shapes here (regex-split token counts,
+replace-length stopword counting) are chosen so an independent ANSI-SQL
+oracle computes bit-identical values — see webextract.queries for the
+DuckDB-checked forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-run token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def stopword_hits(col: Column | str, word: str) -> Column:
+    """Occurrences of ``word`` as a space-delimited token (lowercased).
+
+    replace-length arithmetic: leftmost non-overlapping, exact integers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pad = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    pat = f" {word} "
+    return ((F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))).cast("long")
+
+
+def stopword_hits_any(col: Column | str, words: list[str]) -> Column:
+    out = stopword_hits(col, words[0])
+    for w in words[1:]:
+        out = out + stopword_hits(col, w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quality signals
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in"]
+
+
+def quality_columns(text_col: str = "text",
+                    stopwords: list[str] | None = None) -> list[Column]:
+    """The standard quality-signal projection for a text table."""
+    sw = stopwords or EN_STOPWORDS
+    ntok = token_count(text_col)
+    hits = stopword_hits_any(text_col, sw)
+    c = F.col(text_col)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return [
+        F.length(c).alias("n_chars_measured"),
+        ntok.alias("n_tokens"),
+        hits.alias("stopword_hits"),
+        F.round(F.when(ntok == 0, F.lit(0.0)).otherwise(hits / ntok.cast("double")), 6)
+            .cast("double").alias("stopword_ratio"),
+        F.round(F.when(F.length(c) == 0, F.lit(0.0))
+                 .otherwise(alpha / F.length(c).cast("double")), 6)
+            .cast("double").alias("alpha_ratio"),
+        F.round(F.when(ntok == 0, F.lit(0.0))
+                 .otherwise(F.length(c).cast("double") / ntok.cast("double")), 6)
+            .cast("double").alias("mean_token_len"),
+    ]
+
+
+def quality_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    return df.select(id_col, *quality_columns(text_col))
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+
+def langid_columns(text_col: str = "text") -> tuple[list[Column], Column]:
+    """(per-language hit columns, predicted-language column).
+
+    Deterministic argmax with fixed tie-break order en > es > de > fr.
+    """
+    hit_cols = [
+        stopword_hits_any(text_col, ws).alias(f"hits_{lg}")
+        for lg, ws in LANG_STOPWORDS.items()
+    ]
+    h = {lg: F.col(f"hits_{lg}") for lg in LANG_STOPWORDS}
+    pred = (
+        F.when(h["en"] + h["es"] + h["de"] + h["fr"] == 0, F.lit("unknown"))
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), F.lit("en"))
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), F.lit("es"))
+        .when(h["de"] >= h["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return hit_cols, pred
+
+
+def langid_df(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    hit_cols, pred = langid_columns(text_col)
+    return df.select(id_col, *hit_cols).withColumn("predicted_lang", pred) \
+             .select(id_col, "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """64-bit content fingerprint of whitespace-normalized lowercased text.
+
+    The exact-dedup key at scale: group/join on this instead of shuffling
+    full documents.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.xxhash64(norm)

@@ -234,21 +234,15 @@ def q08(spark, sf_dir):
 # exact-int divisions rounded to a fixed scale.
 # --------------------------------------------------------------------------
 
-def _tok_count_spark(col):
-    t = F.trim(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
-
+from .analysis import (  # noqa: E402 — engine operators; SQL oracles mirror them
+    langid_columns,
+    stopword_hits as _hits_spark,
+    stopword_hits_any,
+    token_count as _tok_count_spark,
+)
 
 _TOK_COUNT_SQL = ("CASE WHEN length(trim({c})) = 0 THEN 0 "
                   "ELSE len(string_split_regex(trim({c}), '\\s+')) END")
-
-
-def _hits_spark(col, word: str):
-    """Occurrences of ` word ` in the space-padded lowercased text."""
-    pad = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
-    pat = f" {word} "
-    return ((F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(""))))
-            / F.lit(len(pat))).cast("long")
 
 
 def _hits_sql(c: str, word: str) -> str:
@@ -311,8 +305,7 @@ _EN_STOPS = ["the", "and", "of", "to", "in"]
 def q11(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ntok = _tok_count_spark(F.col("text"))
-    hits = sum((_hits_spark(F.col("text"), w) for w in _EN_STOPS[1:]),
-               _hits_spark(F.col("text"), _EN_STOPS[0]))
+    hits = stopword_hits_any(F.col("text"), _EN_STOPS)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -354,23 +347,12 @@ _LANG_STOPS = {
 )
 def q12(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "lang",
-        *[
-            sum((_hits_spark(F.col("text"), w) for w in ws[1:]),
-                _hits_spark(F.col("text"), ws[0])).alias(f"hits_{lg}")
-            for lg, ws in _LANG_STOPS.items()
-        ],
+    hit_cols, pred = langid_columns("text")
+    return (
+        d.select("doc_id", "lang", *hit_cols)
+        .withColumn("predicted_lang", pred)
+        .select("doc_id", "lang", "predicted_lang")
     )
-    h = {lg: F.col(f"hits_{lg}") for lg in _LANG_STOPS}
-    pred = (
-        F.when(h["en"] + h["es"] + h["de"] + h["fr"] == 0, F.lit("unknown"))
-        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), F.lit("en"))
-        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), F.lit("es"))
-        .when(h["de"] >= h["fr"], F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
-    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
 # --------------------------------------------------------------------------
