@@ -41,17 +41,19 @@ MIN_CHARS_LINKED = 25    # B5: shorter than this AND containing a link → drop
 
 
 def is_boilerplate(block: Block, *, link_density_max: float = LINK_DENSITY_MAX,
-                   min_chars_linked: int = MIN_CHARS_LINKED) -> bool:
+                   min_chars_linked: int = MIN_CHARS_LINKED,
+                   _norm_text: str | None = None) -> bool:
     """Apply rules B1–B5. Deterministic; no randomness, no global state.
 
     Thresholds are overridable per run via ExtractorConfig (config.py) but
-    default to the byte-identity spec values.
+    default to the byte-identity spec values. ``_norm_text`` lets callers
+    that already normalized the block text avoid doing it twice.
     """
     if block.boiler_ancestor:
         return True
     if block.own_class and CLASS_BLOCKLIST.search(block.own_class):
         return True
-    text = normalize_ws(block.raw_text)
+    text = normalize_ws(block.raw_text) if _norm_text is None else _norm_text
     if not text:
         return True
     if block.total_chars > 0 and block.link_chars / block.total_chars >= link_density_max:
@@ -70,8 +72,12 @@ def select_content(blocks: list[Block], *,
     """
     out: list[tuple[str, str]] = []
     for b in blocks:
-        if is_boilerplate(b, link_density_max=link_density_max,
-                          min_chars_linked=min_chars_linked):
+        # cheap structural rules first; normalize once, reuse for the rest
+        if b.boiler_ancestor or (b.own_class and CLASS_BLOCKLIST.search(b.own_class)):
             continue
-        out.append((b.kind, normalize_ws(b.raw_text)))
+        text = normalize_ws(b.raw_text)
+        if is_boilerplate(b, link_density_max=link_density_max,
+                          min_chars_linked=min_chars_linked, _norm_text=text):
+            continue
+        out.append((b.kind, text))
     return out

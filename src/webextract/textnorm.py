@@ -31,8 +31,13 @@ BLOCK_JOINER = "\n\n"
 
 
 def normalize_ws(text: str) -> str:
-    """Collapse whitespace runs to single spaces and strip the ends."""
-    return _WS_RUN.sub(" ", text).strip()
+    """Collapse whitespace runs to single spaces and strip the ends.
+
+    ``" ".join(text.split())`` is the C-speed implementation of the spec;
+    verified equivalent to ``re.sub(r"\\s+", " ", text).strip()`` over every
+    whitespace codepoint (both use the Unicode whitespace property).
+    """
+    return " ".join(text.split())
 
 
 def join_blocks(texts: list[str]) -> tuple[str, list[tuple[int, int]]]:
