@@ -33,6 +33,14 @@ Layout
 - :mod:`webextract.analysis`   — text analytics (lang-id, quality, tokens).
 - :mod:`webextract.dedup`      — exact / n-gram Jaccard / MinHash-LSH / SimHash.
 - :mod:`webextract.sim`        — embedding cosine similarity / ANN top-k.
+- :mod:`webextract.multimodal` — binary media columns: probe/features/frames
+  (decode stubbed; Spark plumbing real and tested).
+- :mod:`webextract.streaming`  — Structured Streaming twin of the batch job.
+- :mod:`webextract.queries`    — oracle-checked query registry (driver gate).
+- :mod:`webextract.session`    — SparkSession factory (+ --py-files zip).
+- :mod:`webextract.config`     — YAML-per-component Pydantic configs.
+- :mod:`webextract.tableio`    — parquet/Iceberg table seam.
+- :mod:`webextract.cli`        — spark-submit entrypoint (synth/extract/evaluate).
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,111 @@
+"""Table IO abstraction: Iceberg catalog tables when available, parquet dirs
+locally.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar (verified — /opt/spark/jars), so the engine codes against this thin
+seam instead of hardcoding either backend:
+
+- ``ParquetIO``  — path-based tables; wave-overwrite = directory overwrite
+  (what runner.py uses today; atomic enough for local/test runs).
+- ``IcebergIO``  — catalog tables; wave-overwrite = ``overwritePartitions``
+  on the wave key and appends become snapshot commits, giving true
+  transactional resume on a real cluster. Constructing it verifies the
+  catalog is configured and raises a clear error otherwise.
+
+Both expose the same four verbs the runner needs: ``append``,
+``overwrite_wave``, ``read``, ``exists``.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO(ABC):
+    @abstractmethod
+    def append(self, df: DataFrame, table: str) -> None: ...
+
+    @abstractmethod
+    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
+                       wave: int) -> None: ...
+
+    @abstractmethod
+    def read(self, spark: SparkSession, table: str) -> DataFrame: ...
+
+    @abstractmethod
+    def exists(self, spark: SparkSession, table: str) -> bool: ...
+
+
+class ParquetIO(TableIO):
+    """Directory-per-table under a root; waves are subdirectories."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, table: str, run_id: str | None = None,
+              wave: int | None = None) -> str:
+        p = os.path.join(self.root, table)
+        if run_id is not None:
+            p = os.path.join(p, f"run_id={run_id}")
+        if wave is not None:
+            p = os.path.join(p, f"wave={wave:05d}")
+        return p
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self._path(table))
+
+    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
+                       wave: int) -> None:
+        df.write.mode("overwrite").parquet(self._path(table, run_id, wave))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.option("recursiveFileLookup", "true") \
+            .parquet(self._path(table))
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(self._path(table))
+
+
+class IcebergIO(TableIO):
+    """Iceberg catalog tables (``catalog.namespace.table``).
+
+    Requires ``spark.sql.catalog.<name>`` configured with the Iceberg runtime
+    on the classpath. Wave overwrites use dynamic partition overwrite on the
+    (run_id, wave) columns, so a re-run of a crashed wave is one atomic
+    snapshot replace — the production-strength version of the parquet
+    directory swap.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str, catalog: str = "iceberg"):
+        self.namespace = namespace
+        self.catalog = catalog
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured "
+                f"(set spark.sql.catalog.{catalog}* and add the "
+                f"iceberg-spark-runtime jar); use ParquetIO locally"
+            )
+
+    def _name(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.writeTo(self._name(table)).append()
+
+    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
+                       wave: int) -> None:
+        from pyspark.sql import functions as F
+
+        (df.withColumn("run_id", F.lit(run_id))
+           .withColumn("wave", F.lit(wave))
+           .writeTo(self._name(table))
+           .overwritePartitions())
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self._name(table))
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(self._name(table))
