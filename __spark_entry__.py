@@ -40,7 +40,24 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _corpus_df(spark: SparkSession, n_docs: int, seed: int = 42):
-    """Synthesize the web_pages + truth tables as DataFrames (deterministic)."""
+    """Synthesize the web_pages + truth tables (deterministic), memoized to
+    parquet so repeated queries in one driver session share the scan."""
+    import tempfile
+
+    from webextract.corpus import write_corpus_parquet
+
+    d = os.path.join(tempfile.gettempdir(), f"webextract_entry_{n_docs}_{seed}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus_parquet(d, n_docs, seed=seed)
+        open(marker, "w").close()
+    return (spark.read.parquet(os.path.join(d, "web_pages.parquet")),
+            spark.read.parquet(os.path.join(d, "truth.parquet")))
+
+
+def _corpus_df_inline(spark: SparkSession, n_docs: int, seed: int = 42):
+    """createDataFrame variant (no filesystem); kept for environments where
+    /tmp writes are undesirable."""
     from pyspark.sql import types as T
 
     from webextract.corpus import make_corpus
