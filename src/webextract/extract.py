@@ -27,8 +27,8 @@ import codecs
 import re
 from dataclasses import dataclass, field
 
+from .fasthtml import parse_blocks_fast as parse_blocks
 from .heuristics import CLASS_BLOCKLIST, select_content
-from .htmlblocks import parse_blocks
 from .pdftext import extract_pdf_text, is_pdf
 from .textnorm import join_blocks
 

@@ -1,0 +1,130 @@
+"""Fast HTML tokenizer: regex-driven, feeding the SAME BlockParser callbacks.
+
+The stdlib ``html.parser`` costs ~1 ms per 13 KiB page before our callbacks
+run; at 10^12 documents tokenization is the single hottest loop in the
+engine. This module re-implements only the *tokenizer* — start/end tags,
+comments, declarations, raw-text elements, entity-decoded text — and drives
+the unchanged :class:`webextract.htmlblocks.BlockParser` callback methods, so
+block-building semantics (candidate stack, merging, boilerplate evidence)
+have exactly one implementation.
+
+Equivalence contract: for the document classes the engine is specified on
+(the fixture grammar + benign real-world HTML), ``parse_blocks_fast`` must
+produce byte-identical blocks to the stdlib path — enforced by
+tests/test_fasthtml.py over the full corpus and a hypothesis HTML grammar.
+Inputs with constructs the fast tokenizer cannot prove it handles
+identically (unterminated tags/comments) fall back to the stdlib parser for
+that document — correctness never depends on the fast path.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .htmlblocks import Block, BlockParser
+
+# tag name + attributes; quoted attr values may contain '>'
+_TAG_RE = re.compile(
+    r"""<(?:
+        (?P<end>/(?P<endtag>[a-zA-Z][a-zA-Z0-9:._-]*)\s*>)
+      | (?P<comment>!--.*?--!?>)
+      | (?P<decl>![^>]*>)
+      | (?P<pi>\?[^>]*>)
+      | (?P<start>(?P<starttag>[a-zA-Z][a-zA-Z0-9:._-]*)
+           (?P<attrs>(?:\s+[^\s/>=]+(?:\s*=\s*(?:"[^"]*"|'[^']*'|[^\s>]*))?)*)
+           \s*(?P<selfclose>/?)\s*>)
+    )""",
+    re.S | re.X,
+)
+
+_ATTR_RE = re.compile(
+    r"""([^\s/>=]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""", re.S)
+
+# raw-text (CDATA) elements: content runs to the matching close tag, no
+# markup inside. Exactly html.parser's CDATA_CONTENT_ELEMENTS — title and
+# textarea are parsed as normal markup by the stdlib, so here too.
+_RAWTEXT = {"script", "style"}
+_RAW_CLOSE = {t: re.compile(rf"</{t}(?=[\s/>])|</{t}>", re.I) for t in _RAWTEXT}
+
+_HAS_AMP = "&"
+
+
+class FastTokenizerFallback(Exception):
+    """Raised when the input has constructs we route to the stdlib parser."""
+
+
+def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
+    out = []
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        v = m.group(2)
+        if v is None:
+            out.append((name, None))
+            continue
+        if v[:1] in ("'", '"'):
+            v = v[1:-1]
+        if _HAS_AMP in v:
+            v = unescape(v)
+        out.append((name, v))
+    return out
+
+
+def tokenize_into(p: BlockParser, html: str) -> None:
+    """Drive BlockParser's handle_* callbacks over ``html``."""
+    i = 0
+    n = len(html)
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt == -1:
+            if i < n:
+                text = html[i:]
+                p.handle_data(unescape(text) if _HAS_AMP in text else text)
+            break
+        if lt > i:
+            text = html[i:lt]
+            p.handle_data(unescape(text) if _HAS_AMP in text else text)
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            # stray '<' — the stdlib parser's recovery here is intricate
+            # (partial tags, EOF-in-tag). Don't guess: fall back.
+            raise FastTokenizerFallback(f"unparseable markup at {lt}")
+        if m.group("start") is not None:
+            tag = m.group("starttag").lower()
+            attrs = _parse_attrs(m.group("attrs") or "")
+            if m.group("selfclose"):
+                p.handle_startendtag(tag, attrs)
+                i = m.end()
+                continue
+            p.handle_starttag(tag, attrs)
+            i = m.end()
+            if tag in _RAWTEXT:
+                c = _RAW_CLOSE[tag].search(html, i)
+                if c is None:
+                    raise FastTokenizerFallback(f"unterminated <{tag}>")
+                # raw text is NOT entity-decoded by the stdlib parser either,
+                # but BlockParser suppresses it entirely; skip to close tag
+                gt = find(">", c.start())
+                if gt == -1:
+                    raise FastTokenizerFallback(f"unterminated </{tag}")
+                p.handle_endtag(tag)
+                i = gt + 1
+        elif m.group("end") is not None:
+            p.handle_endtag(m.group("endtag").lower())
+            i = m.end()
+        else:  # comment / declaration / processing instruction: invisible
+            i = m.end()
+
+
+def parse_blocks_fast(html: str, class_blocklist) -> list[Block]:
+    """parse_blocks with the fast tokenizer; stdlib fallback per document."""
+    p = BlockParser(class_blocklist)
+    try:
+        tokenize_into(p, html)
+        p.close()
+    except FastTokenizerFallback:
+        from .htmlblocks import parse_blocks
+
+        return parse_blocks(html, class_blocklist)
+    return [b for b in p.blocks if b.kind != "merged"]

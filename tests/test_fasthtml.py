@@ -1,0 +1,99 @@
+"""Fast-tokenizer equivalence: byte-identical blocks vs the stdlib parser."""
+
+from hypothesis import given, settings, strategies as st
+
+from webextract.corpus import make_corpus
+from webextract.extract import decode_html, extract_document
+from webextract.fasthtml import parse_blocks_fast
+from webextract.heuristics import CLASS_BLOCKLIST
+from webextract.htmlblocks import parse_blocks
+
+
+def _blocks_sig(blocks):
+    return [(b.kind, b.tag, b.raw_text, b.link_chars, b.total_chars,
+             b.own_class, b.boiler_ancestor) for b in blocks]
+
+
+def test_equivalence_on_full_corpus():
+    pages, _ = make_corpus(800, seed=42)
+    checked = 0
+    for p in pages:
+        raw = p["html"]
+        if not raw or raw[:5] == b"%PDF-":
+            continue
+        try:
+            html = decode_html(raw)
+        except Exception:
+            continue
+        slow = _blocks_sig(parse_blocks(html, CLASS_BLOCKLIST))
+        fast = _blocks_sig(parse_blocks_fast(html, CLASS_BLOCKLIST))
+        assert fast == slow, p["url"]
+        checked += 1
+    assert checked > 700
+
+
+def test_equivalence_heavy_pages():
+    pages, _ = make_corpus(60, seed=9, content_scale=10)
+    for p in pages:
+        raw = p["html"]
+        if not raw or raw[:5] == b"%PDF-":
+            continue
+        try:
+            html = decode_html(raw)
+        except Exception:
+            continue
+        assert _blocks_sig(parse_blocks_fast(html, CLASS_BLOCKLIST)) == \
+            _blocks_sig(parse_blocks(html, CLASS_BLOCKLIST))
+
+
+# hypothesis grammar over benign HTML (the engine's specified input class)
+_word = st.text(alphabet="abcdefg &<", min_size=0, max_size=12)
+_cls = st.sampled_from(["", "sidebar", "content", "menu x", "a_b-c"])
+
+
+@st.composite
+def _element(draw, depth=0):
+    tag = draw(st.sampled_from(
+        ["p", "div", "h1", "blockquote", "li", "nav", "footer", "span",
+         "article", "ul", "td", "pre"]))
+    cls = draw(_cls)
+    attrs = f' class="{cls}"' if cls else ""
+    if depth < 2 and draw(st.booleans()):
+        inner = "".join(draw(st.lists(_element(depth=depth + 1), max_size=3)))
+    else:
+        inner = draw(_word).replace("<", "&lt;")
+    link = draw(st.booleans())
+    if link:
+        inner = f'<a href="/x">{inner}</a>'
+    return f"<{tag}{attrs}>{inner}</{tag}>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_element(), max_size=6), _word)
+def test_equivalence_on_generated_html(elements, tail):
+    html = ("<html><head><title>t</title><script>var a = '<p>';</script></head>"
+            "<body>" + "".join(elements) + tail.replace("<", "&lt;")
+            + "</body></html>")
+    assert _blocks_sig(parse_blocks_fast(html, CLASS_BLOCKLIST)) == \
+        _blocks_sig(parse_blocks(html, CLASS_BLOCKLIST))
+
+
+def test_fallback_on_pathological_markup():
+    # unterminated tag: fast path must fall back, not diverge
+    html = "<html><body><p>text here</p><div <broken"
+    fast = parse_blocks_fast(html, CLASS_BLOCKLIST)
+    slow = parse_blocks(html, CLASS_BLOCKLIST)
+    assert _blocks_sig(fast) == _blocks_sig(slow)
+
+
+def test_extract_document_unchanged():
+    """extract_document output stays byte-identical after wiring the fast path."""
+    pages, truth = make_corpus(400, seed=42)
+    tmap = {t["url"]: t for t in truth}
+    for p in pages:
+        t = tmap[p["url"]]
+        r = extract_document(p["html"])
+        if t["expected_text"] is None:
+            assert r.status != "ok"
+        else:
+            assert r.text == t["expected_text"]
