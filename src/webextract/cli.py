@@ -50,9 +50,10 @@ def cmd_extract(args) -> int:
     pages = spark.read.parquet(args.input)
     stats = run_extraction(
         spark, pages, args.output_root, args.run_id,
-        n_buckets=args.n_buckets or (orch.n_buckets if orch else 64),
+        # None → inherit the run manifest on resume (or runner defaults)
+        n_buckets=args.n_buckets or (orch.n_buckets if orch else None),
         waves=args.waves or (orch.waves if orch else 1),
-        salt=orch.salt if orch else 0x5EED,
+        salt=orch.salt if orch else None,
         shuffle_partitions=orch.shuffle_partitions if orch else None,
     )
     print(json.dumps(stats))

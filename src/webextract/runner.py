@@ -81,15 +81,38 @@ def completed_buckets(spark: SparkSession, paths: RunPaths, run_id: str) -> Data
     return df.filter((F.col("run_id") == run_id) & (F.col("status") == "completed"))
 
 
+def _manifest_path(root: str, run_id: str) -> str:
+    return os.path.join(root, "runs", f"{run_id}.json")
+
+
+def _load_manifest(root: str, run_id: str) -> dict | None:
+    import json
+
+    p = _manifest_path(root, run_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_manifest(root: str, run_id: str, n_buckets: int, salt: int) -> None:
+    import json
+
+    p = _manifest_path(root, run_id)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump({"run_id": run_id, "n_buckets": n_buckets, "salt": salt}, f)
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
     root: str,
     run_id: str,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     waves: int = 1,
-    salt: int = DEFAULT_SALT,
+    salt: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> dict:
     """The resumable job (reference entry point §3.3). Returns run stats.
@@ -102,6 +125,27 @@ def run_extraction(
              → overwrite wave dir (ok) + DLQ dir  # idempotent commit
              → append lineage + metrics
     """
+    # Resume safety: the bucketing (n_buckets, salt) is part of a run's
+    # identity — lineage interpreted under a different bucketing would
+    # silently re-process completed work. A per-run manifest pins it: a
+    # resume inherits the stored values; an explicitly conflicting value
+    # raises instead of corrupting the run. (Iceberg deployments would keep
+    # this in a runs table.)
+    manifest = _load_manifest(root, run_id)
+    if manifest is not None:
+        for name, given in (("n_buckets", n_buckets), ("salt", salt)):
+            if given is not None and given != manifest[name]:
+                raise ValueError(
+                    f"run_id {run_id!r} was started with {name}="
+                    f"{manifest[name]}; resuming with {name}={given} would "
+                    f"corrupt lineage — pass the original value or omit it")
+        n_buckets = manifest["n_buckets"]
+        salt = manifest["salt"]
+    else:
+        n_buckets = 64 if n_buckets is None else n_buckets
+        salt = DEFAULT_SALT if salt is None else salt
+        _save_manifest(root, run_id, n_buckets, salt)
+
     paths = RunPaths(root)
     bcol = bucket_col(salt, n_buckets)
     pages_b = pages.withColumn("partition_id", bcol)
@@ -125,30 +169,30 @@ def run_extraction(
         n_part = shuffle_partitions or max(len(buckets), 1)
         subset = subset.repartition(n_part, F.col("partition_id"))
         # the bucket flows through the UDF (no back-join): extract_batches
-        # passes an input partition_id column straight to the output
+        # passes an input partition_id column straight to the output.
+        # Extraction executes exactly ONCE per wave: all rows (ok + failed)
+        # are committed in one write; the DLQ view and metrics are derived
+        # from the committed files (cheap column-pruned scans), never by
+        # recomputing the UDF.
         extracted = extract_df(subset, repartition=False)
-        ok, errs = split_errors_keep_bucket(extracted)
-        ok.write.mode("overwrite").parquet(paths.extracted(run_id, wave_id))
+        extracted.write.mode("overwrite").parquet(paths.extracted(run_id, wave_id))
+
+        committed = spark.read.parquet(paths.extracted(run_id, wave_id))
+        errs = committed.filter(F.col("status") != "ok").select(
+            "url", "warc_ts", "status", "error", "html_bytes", "partition_id")
         errs.write.mode("overwrite").parquet(paths.errors(run_id, wave_id))
 
-        # metrics from the committed files (scan of this wave's output only)
-        out = spark.read.parquet(paths.extracted(run_id, wave_id))
-        err = spark.read.parquet(paths.errors(run_id, wave_id))
-        m_ok = out.groupBy("partition_id").agg(
-            F.count("*").alias("docs_ok"),
-            F.sum(F.octet_length("text")).alias("bytes_extracted"),
-        )
-        m_err = err.groupBy("partition_id").agg(F.count("*").alias("parse_failures"))
+        is_ok = F.col("status") == "ok"
         metrics = (
-            m_ok.join(m_err, "partition_id", "full_outer")
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.col("partition_id"),
-                (F.coalesce("docs_ok", F.lit(0)) + F.coalesce("parse_failures", F.lit(0))
-                 ).cast("long").alias("docs_processed"),
-                F.coalesce("bytes_extracted", F.lit(0)).cast("long").alias("bytes_extracted"),
-                F.coalesce("parse_failures", F.lit(0)).cast("long").alias("parse_failures"),
+            committed.groupBy("partition_id")
+            .agg(
+                F.count("*").cast("long").alias("docs_processed"),
+                F.coalesce(F.sum(F.when(is_ok, F.octet_length("text"))), F.lit(0))
+                    .cast("long").alias("bytes_extracted"),
+                F.count(F.when(~is_ok, 1)).cast("long").alias("parse_failures"),
             )
+            .select(F.lit(run_id).alias("run_id"), "partition_id",
+                    "docs_processed", "bytes_extracted", "parse_failures")
         )
         metrics.write.mode("append").parquet(paths.metrics())
 
@@ -162,17 +206,16 @@ def run_extraction(
     return stats
 
 
-def split_errors_keep_bucket(extracted: DataFrame):
-    ok = extracted.filter(F.col("status") == "ok")
-    errs = extracted.filter(F.col("status") != "ok").select(
-        "url", "warc_ts", "status", "error", "html_bytes", "partition_id"
-    )
-    return ok, errs
+def load_extracted(spark: SparkSession, root: str, run_id: str,
+                   include_failures: bool = False) -> DataFrame:
+    """The run's committed rows; ok rows only unless include_failures.
 
-
-def load_extracted(spark: SparkSession, root: str, run_id: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "true").parquet(
+    (The extracted wave dirs hold every processed row — ok and failed — so
+    extraction executes once; the errors dirs are a derived DLQ view.)
+    """
+    df = spark.read.option("recursiveFileLookup", "true").parquet(
         RunPaths(root).extracted(run_id))
+    return df if include_failures else df.filter(F.col("status") == "ok")
 
 
 def load_errors(spark: SparkSession, root: str, run_id: str) -> DataFrame:

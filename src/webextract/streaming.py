@@ -36,7 +36,10 @@ PAGES_SCHEMA = T.StructType([
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming source over a landing directory of web-pages parquet files."""
-    r = spark.readStream.schema(PAGES_SCHEMA)
+    r = (spark.readStream.schema(PAGES_SCHEMA)
+         # landing areas often contain writer-job subdirectories; pick up
+         # part files at any depth
+         .option("recursiveFileLookup", "true"))
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.parquet(input_dir)
@@ -45,6 +48,47 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 def extract_stream(pages_stream: DataFrame) -> DataFrame:
     """The extraction transform, streaming-safe (stateless, no shuffle)."""
     return extract_df(pages_stream, repartition=False)
+
+
+def windowed_metrics(extracted_stream: DataFrame, *, window: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stateful branch: per-(crawl-window, status) doc counts + bytes.
+
+    Event time is ``warc_ts`` (the crawl timestamp), so late-arriving WARC
+    segments update the right window until the watermark closes it — the
+    streaming analog of the batch metrics table (runner.py). Output mode
+    for the sink should be ``append`` (finalized windows only).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        extracted_stream
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("status"))
+        .agg(F.count("*").alias("docs"),
+             F.sum(F.octet_length("text")).alias("bytes_extracted"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "status", "docs", "bytes_extracted")
+    )
+
+
+def start_metrics_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                         checkpoint_dir: str, *, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         available_now: bool = False):
+    """Source → extract → watermarked windowed aggregation → parquet sink."""
+    m = windowed_metrics(extract_stream(read_pages_stream(spark, input_dir)),
+                         window=window, watermark=watermark)
+    w = (
+        m.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def start_extraction_stream(spark: SparkSession, input_dir: str, output_dir: str,
