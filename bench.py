@@ -107,6 +107,25 @@ def main() -> None:
         "extract_docs_per_sec": round(docs_per_sec, 1),
         "cpus": cpus,
     }
+    # attach the latest N-vs-4N scaling evidence (BENCH/scaling.py output)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                s = json.load(f)
+            out["scaling_efficiency"] = s.get("value")
+            out["scaling"] = {
+                "pairs": [
+                    {"n": p["low"]["cpus"], "n4": p["high"]["cpus"],
+                     "eff": p["spark_efficiency"],
+                     "ceiling": p["hardware_ceiling"]["efficiency"]}
+                    for p in s.get("pairs", [])
+                ],
+                "docs": s.get("docs"),
+            }
+        except Exception:  # noqa: BLE001 — evidence attach is best-effort
+            pass
     spark.stop()
     print(json.dumps(out))
 

@@ -227,6 +227,130 @@ def q08(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q20_user_event_pivot",
+    f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot (wide conditional aggregation) of event counts per user",
+)
+def q20(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "q21_customers_with_recent_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    """,
+    doc="left-semi join (EXISTS) — complement of the q05 anti-join",
+)
+def q21(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q22_lineitem_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="cube / grouping sets over two dimensions (all 4 grouping combos)",
+)
+def q22(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "q23_orders_by_month",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="scalar date functions (year/month extraction) + time-bucketed agg",
+)
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q24_event_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def q24(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).cast("double").alias("p95"),
+    )
+
+
+@register(
+    "q25_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) < 10
+    GROUP BY 1
+    """,
+    doc="semi-structured JSON column extraction (get_json_object) + agg",
+)
+def q25(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k_bucket", k)
+        .filter(F.col("k_bucket") < 10)
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("double")
+              .alias("total_value"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analytics over `documents` (training-data pipeline operations).
 # Portability: token counts via regex split, stopword hits via replace-length
