@@ -78,7 +78,7 @@ def extract_document(raw: bytes, *, link_density_max: float = 0.5,
     """bytes → main text + spans. Never raises."""
     try:
         if not raw:
-            return ExtractResult(status=STATUS_EMPTY, error="empty_input")
+            return ExtractResult(status=STATUS_EMPTY, error="read: empty input")
         if is_pdf(raw):
             return _extract_pdf(raw)
         try:

@@ -179,7 +179,11 @@ def run_extraction(
 
         committed = spark.read.parquet(paths.extracted(run_id, wave_id))
         errs = committed.filter(F.col("status") != "ok").select(
-            "url", "warc_ts", "status", "error", "html_bytes", "partition_id")
+            "url", "warc_ts", "status", "error",
+            # stage-tagged DLQ (reference production-patterns.md:480-608):
+            # error messages are "<stage>: <detail>" by construction
+            F.split("error", ":").getItem(0).alias("stage"),
+            "html_bytes", "partition_id")
         errs.write.mode("overwrite").parquet(paths.errors(run_id, wave_id))
 
         is_ok = F.col("status") == "ok"

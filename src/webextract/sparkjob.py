@@ -177,6 +177,9 @@ def split_errors(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``docs/guides/production-patterns.md:480-608``)."""
     ok = extracted.filter(F.col("status") == "ok")
     errs = extracted.filter(F.col("status") != "ok").select(
-        "url", "warc_ts", "status", "error", "html_bytes", "partition_id"
+        "url", "warc_ts", "status", "error",
+        # stage-tagged DLQ (reference production-patterns.md:480-608)
+        F.split("error", ":").getItem(0).alias("stage"),
+        "html_bytes", "partition_id",
     )
     return ok, errs
