@@ -146,12 +146,97 @@ def _q_extract_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def _q_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable runner end-to-end: run → metrics table (FIXTURES.md §4).
+
+    Invariant surfaced to the driver: sum(docs_processed) == corpus rows.
+    """
+    import shutil
+    import tempfile
+
+    from webextract.runner import load_metrics, run_extraction
+
+    _ship_package(spark)
+    pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    root = tempfile.mkdtemp(prefix="webextract_q94_")
+    try:
+        run_extraction(spark, pages, root, "driver-run", n_buckets=16, waves=2)
+        m = load_metrics(spark, root, "driver-run")
+        return (
+            m.groupBy("run_id")
+            .agg(F.sum("docs_processed").alias("docs_processed"),
+                 F.sum("bytes_extracted").alias("bytes_extracted"),
+                 F.sum("parse_failures").alias("parse_failures"),
+                 F.count("*").alias("n_partitions"))
+        ).localCheckpoint()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: land corpus → availableNow stream → extracted counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from webextract.streaming import start_extraction_stream
+
+    _ship_package(spark)
+    n = max(60, min(600, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    base = tempfile.mkdtemp(prefix="webextract_q93_")
+    try:
+        from webextract.corpus import write_corpus_parquet
+
+        land = os.path.join(base, "landing")
+        os.makedirs(land)
+        write_corpus_parquet(land, n, seed=42)
+        os.remove(os.path.join(land, "truth.parquet"))
+        q = start_extraction_stream(spark, land, os.path.join(base, "out"),
+                                    os.path.join(base, "ckpt"), available_now=True)
+        q.awaitTermination(300)
+        out = spark.read.parquet(os.path.join(base, "out"))
+        return (
+            out.groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.octet_length("text")).alias("bytes_extracted"))
+            .orderBy("status")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake blobs → probe + features."""
+    import hashlib
+
+    from webextract.multimodal import media_features
+
+    _ship_package(spark)
+    n = max(50, min(2000, int(10_000 * _sf_of(sf_dir))))
+    rows = []
+    for i in range(n):
+        h = hashlib.blake2b(f"media{i}".encode(), digest_size=24).digest()
+        magic = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF" + h[:4] + b"WAVE",
+                 b"\x1aE\xdf\xa3", b""][i % 5]
+        rows.append((f"m{i:05d}", magic + h))
+    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    feats = media_features(df)
+    return (
+        feats.groupBy("media_type", "status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("media_type", "status")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from webextract import queries as q
 
     out = dict(q.queries())
     out["q90_extract_corpus"] = _q_extract_corpus
     out["q91_extract_eval_rollup"] = _q_extract_eval_rollup
+    out["q92_media_features"] = _q_media_features
+    out["q93_stream_extract"] = _q_stream_extract
+    out["q94_resume_metrics"] = _q_resume_metrics
     return out
 
 
