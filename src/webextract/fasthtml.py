@@ -70,34 +70,75 @@ def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
     return out
 
 
+def _parse_attrs_classid(s: str) -> list[tuple[str, str | None]]:
+    """Like :func:`_parse_attrs` but keeps only class/id pairs.
+
+    BlockParser consumes nothing but class/id (``htmlblocks._class_id``), so
+    dropping the rest here is invisible to block building and skips the
+    unescape/strip work for href/src/etc. Relative order of the kept pairs is
+    preserved (``_class_id`` joins values in attribute order).
+    """
+    out = []
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        if name != "class" and name != "id":
+            continue
+        v = m.group(2)
+        if v is None:
+            out.append((name, None))
+            continue
+        if v[:1] in ("'", '"'):
+            v = v[1:-1]
+        if _HAS_AMP in v:
+            v = unescape(v)
+        out.append((name, v))
+    return out
+
+
+_NO_ATTRS: list[tuple[str, str | None]] = []
+
+
 def tokenize_into(p: BlockParser, html: str) -> None:
     """Drive BlockParser's handle_* callbacks over ``html``."""
     i = 0
     n = len(html)
     find = html.find
+    tag_match = _TAG_RE.match
+    handle_data = p.handle_data
+    handle_starttag = p.handle_starttag
+    handle_endtag = p.handle_endtag
     while i < n:
         lt = find("<", i)
         if lt == -1:
             if i < n:
                 text = html[i:]
-                p.handle_data(unescape(text) if _HAS_AMP in text else text)
+                handle_data(unescape(text) if _HAS_AMP in text else text)
             break
         if lt > i:
             text = html[i:lt]
-            p.handle_data(unescape(text) if _HAS_AMP in text else text)
-        m = _TAG_RE.match(html, lt)
+            handle_data(unescape(text) if _HAS_AMP in text else text)
+        m = tag_match(html, lt)
         if m is None:
             # stray '<' — the stdlib parser's recovery here is intricate
             # (partial tags, EOF-in-tag). Don't guess: fall back.
             raise FastTokenizerFallback(f"unparseable markup at {lt}")
-        if m.group("start") is not None:
-            tag = m.group("starttag").lower()
-            attrs = _parse_attrs(m.group("attrs") or "")
+        starttag = m.group("starttag")
+        if starttag is not None:
+            tag = starttag.lower()
+            a = m.group("attrs")
+            # Only class/id reach BlockParser; a real class/id attribute
+            # always contains these substrings, so this gate has no false
+            # negatives (false positives — e.g. "width" contains "id" — just
+            # take the slow parse and stay correct).
+            if a and ("class" in a or "id" in a):
+                attrs = _parse_attrs_classid(a)
+            else:
+                attrs = _NO_ATTRS
             if m.group("selfclose"):
                 p.handle_startendtag(tag, attrs)
                 i = m.end()
                 continue
-            p.handle_starttag(tag, attrs)
+            handle_starttag(tag, attrs)
             i = m.end()
             if tag in _RAWTEXT:
                 c = _RAW_CLOSE[tag].search(html, i)
@@ -108,12 +149,13 @@ def tokenize_into(p: BlockParser, html: str) -> None:
                 gt = find(">", c.start())
                 if gt == -1:
                     raise FastTokenizerFallback(f"unterminated </{tag}")
-                p.handle_endtag(tag)
+                handle_endtag(tag)
                 i = gt + 1
-        elif m.group("end") is not None:
-            p.handle_endtag(m.group("endtag").lower())
-            i = m.end()
-        else:  # comment / declaration / processing instruction: invisible
+        else:
+            endtag = m.group("endtag")
+            if endtag is not None:
+                handle_endtag(endtag.lower())
+            # else: comment / declaration / processing instruction — invisible
             i = m.end()
 
 

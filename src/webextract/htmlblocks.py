@@ -116,7 +116,7 @@ class BlockParser(HTMLParser):
             self._stack.append(_Frame(tag, False, None))
             return
 
-        cls = self._class_id(attrs)
+        cls = self._class_id(attrs) if attrs else ""
         is_boiler = tag in BOILER_CONTAINER_TAGS or bool(cls and self._blocklist.search(cls))
         if is_boiler:
             self._boiler_depth += 1
