@@ -32,7 +32,7 @@ Layout
   (reference ``runners/evaluation/evaluation_orchestrator.py:234-269``).
 - :mod:`webextract.analysis`   — text analytics (lang-id, quality, tokens).
 - :mod:`webextract.dedup`      — exact / n-gram Jaccard / MinHash-LSH / SimHash.
-- :mod:`webextract.sim`        — embedding cosine similarity / ANN top-k.
+- :mod:`webextract.sim`        — embedding cosine similarity / ANN top-k (LSH + IVF).
 - :mod:`webextract.multimodal` — binary media columns: probe/features/frames
   (decode stubbed; Spark plumbing real and tested).
 - :mod:`webextract.streaming`  — Structured Streaming twin of the batch job.

@@ -707,6 +707,21 @@ def q19(spark, sf_dir):
     return ann_topk(e, q, k=20, n_planes=6, probe_hamming=2)
 
 
+@register(
+    "q26_ivf_topk",
+    None,
+    doc="IVF (k-means coarse quantizer) approximate cosine top-k vs exact "
+        "baseline q15; pytest-verified recall "
+        "(test_ivf_topk_matches_exact_on_clusters)",
+)
+def q26(spark, sf_dir):
+    from .sim import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(e, q, k=20, n_centroids=8, nprobe=3, n_iter=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

@@ -11,7 +11,13 @@ from webextract.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from webextract.sim import ann_topk, cosine_topk, pairwise_near
+from webextract.sim import (
+    ann_topk,
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    pairwise_near,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -134,6 +140,27 @@ def test_ann_topk_matches_exact_on_clusters(clustered_embeddings):
                                          probe_hamming=2).collect()]
     # tight clusters: multi-probe LSH must recover most of the exact set
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_ivf_topk_matches_exact_on_clusters(clustered_embeddings):
+    df, centers = clustered_embeddings
+    exact = [r.vec_id for r in cosine_topk(df, centers[3], k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(df, centers[3], k=10, n_centroids=8,
+                                         nprobe=2, n_iter=3).collect()]
+    # a k-means cell on tight clusters must contain the whole exact set
+    assert len(set(exact) & set(approx)) >= 9
+    # probed cells only: every result came from at most nprobe distinct cells
+    cells = {r.cell for r in ivf_topk(df, centers[3], k=10, n_centroids=8,
+                                      nprobe=2, n_iter=3).collect()}
+    assert len(cells) <= 2
+
+
+def test_kmeans_centroids_deterministic(clustered_embeddings):
+    df, _ = clustered_embeddings
+    a = kmeans_centroids(df, n_centroids=5, n_iter=2, id_col="vec_id")
+    b = kmeans_centroids(df, n_centroids=5, n_iter=2, id_col="vec_id")
+    assert a == b  # bit-identical across runs (fixed init + iteration count)
+    assert len(a) == 5 and len(a[0]) == 32
 
 
 def test_pairwise_near_with_blocking(clustered_embeddings):
