@@ -122,10 +122,9 @@ def tokenize_into(p: BlockParser, html: str) -> None:
             # stray '<' — the stdlib parser's recovery here is intricate
             # (partial tags, EOF-in-tag). Don't guess: fall back.
             raise FastTokenizerFallback(f"unparseable markup at {lt}")
-        starttag = m.group("starttag")
+        starttag, a, selfclose = m.group("starttag", "attrs", "selfclose")
         if starttag is not None:
             tag = starttag.lower()
-            a = m.group("attrs")
             # Only class/id reach BlockParser; a real class/id attribute
             # always contains these substrings, so this gate has no false
             # negatives (false positives — e.g. "width" contains "id" — just
@@ -134,7 +133,7 @@ def tokenize_into(p: BlockParser, html: str) -> None:
                 attrs = _parse_attrs_classid(a)
             else:
                 attrs = _NO_ATTRS
-            if m.group("selfclose"):
+            if selfclose:
                 p.handle_startendtag(tag, attrs)
                 i = m.end()
                 continue
