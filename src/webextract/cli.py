@@ -21,14 +21,15 @@ import json
 import sys
 
 
-def _spark(args):
+def _spark(args, max_partition_mb: int | None = None):
     from .session import get_spark
 
+    mb = args.max_partition_mb or max_partition_mb
     return get_spark(app=f"webextract-{args.cmd}",
                      master=args.master,
                      extra={"spark.sql.files.maxPartitionBytes":
-                            str(args.max_partition_mb * 1024 * 1024)}
-                     if args.max_partition_mb else None)
+                            str(mb * 1024 * 1024)}
+                     if mb else None)
 
 
 def cmd_synth(args) -> int:
@@ -41,12 +42,13 @@ def cmd_synth(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    from .config import load_pipeline_config
+    from .config import ExtractorConfig, load_pipeline_config
     from .runner import run_extraction
 
     cfg = load_pipeline_config(args.config_dir) if args.config_dir else None
     orch = cfg.orchestrator if cfg else None
-    spark = _spark(args)
+    ext = cfg.extractor if cfg else ExtractorConfig()
+    spark = _spark(args, orch.max_partition_mb if orch else None)
     pages = spark.read.parquet(args.input)
     stats = run_extraction(
         spark, pages, args.output_root, args.run_id,
@@ -55,19 +57,41 @@ def cmd_extract(args) -> int:
         waves=args.waves or (orch.waves if orch else 1),
         salt=orch.salt if orch else None,
         shuffle_partitions=orch.shuffle_partitions if orch else None,
+        link_density_max=ext.link_density_max,
+        min_chars_linked=ext.min_chars_linked,
     )
     print(json.dumps(stats))
     return 0
 
 
+def cmd_reprocess(args) -> int:
+    """Re-drive the run's DLQ through extraction (transient-failure recovery)."""
+    from .config import ExtractorConfig, load_pipeline_config
+    from .runner import reprocess_errors
+
+    cfg = load_pipeline_config(args.config_dir) if args.config_dir else None
+    ext = cfg.extractor if cfg else ExtractorConfig()
+    spark = _spark(args)
+    pages = spark.read.parquet(args.input)
+    stats = reprocess_errors(spark, pages, args.output_root, args.run_id,
+                             link_density_max=ext.link_density_max,
+                             min_chars_linked=ext.min_chars_linked)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
+    from .config import EvaluationConfig, load_pipeline_config
     from .evaluate import evaluate
     from .runner import load_extracted
 
+    cfg = load_pipeline_config(args.config_dir) if args.config_dir else None
+    ev = cfg.evaluation if cfg else EvaluationConfig()
     spark = _spark(args)
     extracted = load_extracted(spark, args.extracted_root, args.run_id)
     truth = spark.read.parquet(args.truth)
-    long_df, summary = evaluate(extracted, truth)
+    long_df, summary = evaluate(extracted, truth, metrics=ev.metrics,
+                                len_tolerance=ev.len_tolerance)
     long_df.write.mode("overwrite").parquet(f"{args.report}/metrics")
     summary.write.mode("overwrite").parquet(f"{args.report}/summary")
     rows = {r.metric_name: round(r.mean_value, 6) for r in summary.collect()}
@@ -96,14 +120,22 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--n-buckets", type=int, default=None)
     e.add_argument("--waves", type=int, default=None)
 
+    r = sub.add_parser("reprocess", help="re-drive the run's DLQ through extraction")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output-root", required=True)
+    r.add_argument("--run-id", required=True)
+    r.add_argument("--config-dir", default=None)
+
     v = sub.add_parser("evaluate", help="evaluate a finished run against truth")
     v.add_argument("--extracted-root", required=True)
     v.add_argument("--run-id", required=True)
     v.add_argument("--truth", required=True)
     v.add_argument("--report", required=True)
+    v.add_argument("--config-dir", default=None)
 
     args = ap.parse_args(argv)
-    return {"synth": cmd_synth, "extract": cmd_extract, "evaluate": cmd_evaluate}[args.cmd](args)
+    return {"synth": cmd_synth, "extract": cmd_extract,
+            "reprocess": cmd_reprocess, "evaluate": cmd_evaluate}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -104,63 +104,102 @@ def jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
 
 
 # ---------------------------------------------------------------------------
+# hash functions (parameterize MinHash/SimHash)
+# ---------------------------------------------------------------------------
+#
+# "xxhash64": the production path — multi-arg JVM hash, 64 bits, fastest.
+# "md5_60":  a portable 60-bit hash (top 15 hex digits of md5) that DuckDB
+#            reproduces exactly (('0x'||substr(md5(x),1,15))::UBIGINT), making
+#            MinHash/SimHash oracle-checkable end-to-end. 15 hex digits keep
+#            the value positive in a signed 64-bit long on both engines.
+
+
+def _xx64(col, seed: int | None = None):
+    return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+
+
+def _md5_60(col, seed: int | None = None):
+    s = col if seed is None else F.concat(col, F.lit(f"|{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+#: name -> (hash column fn, hash width in bits)
+HASH_FNS = {"xxhash64": (_xx64, 64), "md5_60": (_md5_60, 60)}
+
+MD5_60_SQL = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+
+
+def _band_bucket(hash_fn: str, bidx: int, cols: list):
+    """Bucket key for one LSH band: hash of (band index, band's hash slice)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(bidx), *cols)  # multi-arg: no string build
+    fn, _ = HASH_FNS[hash_fn]
+    return fn(F.concat_ws("|", F.lit(bidx), *cols))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "url", n: int = 3,
-                       num_perm: int = 64) -> DataFrame:
+                       num_perm: int = 64,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig: array<long>) — num_perm column-wise minima of seeded hashes.
 
     One aggregation over the shingle table; each permutation is
-    ``xxhash64(shingle, seed_i)``, all JVM-side.
+    ``hash(shingle, seed_i)``, all JVM-side.
     """
+    fn, _ = HASH_FNS[hash_fn]
     g = shingles(df, text_col, id_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    mins = [F.min(fn(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_perm)]
     agg = g.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "url", n: int = 3, num_perm: int = 64,
-                      bands: int = 16, verify_tau: float | None = 0.8) -> DataFrame:
+                      bands: int = 16, verify_tau: float | None = 0.8,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate pairs via banded LSH; optionally verified with signature
     similarity (fraction of matching minhashes ≈ Jaccard estimate).
 
     Scale shape: explode to ``bands`` rows per doc, hash each band slice to a
     bucket key, self-join per bucket — candidates are only docs sharing a
-    band bucket, never the full cross product.
+    band bucket, never the full cross product. The candidate dedup shuffles
+    bare ``(id_a, id_b)`` pairs ONLY (≈16 bytes/row); the 64-long signature
+    arrays are re-joined per unique doc id afterwards for verification —
+    never carried through the band-collision distinct.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n,
-                             num_perm=num_perm)
+                             num_perm=num_perm, hash_fn=hash_fn)
     band_cols = [
-        F.xxhash64(
-            F.lit(bidx),
-            *[F.col("sig")[bidx * rows_per_band + r] for r in range(rows_per_band)],
+        _band_bucket(
+            hash_fn, bidx,
+            [F.col("sig")[bidx * rows_per_band + r] for r in range(rows_per_band)],
         ).alias(f"b{bidx}")
         for bidx in range(bands)
     ]
-    banded = sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bucket"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda v: v))
         / F.lit(num_perm)
     ).alias("est_jaccard")
-    out = cand.select("id_a", "id_b", est)
+    out = cand.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
     if verify_tau is not None:
         out = out.filter(F.col("est_jaccard") >= verify_tau)
     return out
@@ -172,31 +211,35 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
-            n: int = 2, bands: int = 4) -> DataFrame:
-    """(id, simhash: long, band0..band{k}) — 64-bit SimHash + Hamming bands.
+            n: int = 2, bands: int = 4,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, simhash: long, band0..band{k}) — SimHash fingerprint + Hamming
+    bands (64-bit with xxhash64; 60-bit with the portable md5_60 hash).
 
     SimHash bit b is 1 iff the majority of the doc's shingle hashes have bit
     b set. Two docs within Hamming distance < bands share at least one exact
     band (pigeonhole), so equality on any band column blocks candidates.
-    Implemented as 64 conditional sums over the shingle table — heavy but
+    Implemented as `bits` conditional sums over the shingle table — heavy but
     entirely JVM-side; band keys are bit-slices of the final fingerprint.
     """
+    fn, bits = HASH_FNS[hash_fn]
+    assert bits % bands == 0, f"bands={bands} must divide hash width {bits}"
     g = shingles(df, text_col, id_col, n)
-    h = g.select("id", F.xxhash64("shingle").alias("h"))
+    h = g.select("id", fn(F.col("shingle")).alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = h.groupBy("id").agg(*bit_sums, F.count("*").alias("n_sh"))
     fp = None
-    for b in range(64):
+    for b in range(bits):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
     out = agg.select("id", fp.alias("simhash"), "n_sh")
-    width = 64 // bands
+    width = bits // bands
     mask = (1 << width) - 1
     for k in range(bands):
         out = out.withColumn(
@@ -207,21 +250,29 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
 
 
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
-                  n: int = 2, bands: int = 4, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs: band-equality blocking, exact Hamming verification."""
-    s = simhash(df, text_col=text_col, id_col=id_col, n=n, bands=bands)
+                  n: int = 2, bands: int = 4, max_hamming: int = 3,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs: band-equality blocking, exact Hamming verification.
+
+    The blocking union/distinct carries bare id pairs; fingerprints are
+    re-joined per unique doc for the Hamming check (same shuffle-slimming
+    shape as :func:`minhash_lsh_pairs`).
+    """
+    s = simhash(df, text_col=text_col, id_col=id_col, n=n, bands=bands,
+                hash_fn=hash_fn)
     pairs = None
     for k in range(bands):
-        a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"),
-                     F.col(f"band{k}").alias("bk"))
-        b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"),
-                     F.col(f"band{k}").alias("bk"))
+        a = s.select(F.col("id").alias("id_a"), F.col(f"band{k}").alias("bk"))
+        b = s.select(F.col("id").alias("id_b"), F.col(f"band{k}").alias("bk"))
         p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")) \
-             .select("id_a", "id_b", "ha", "hb")
+             .select("id_a", "id_b")
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.distinct()
+    ha = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    hb = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        pairs.join(ha, "id_a").join(hb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

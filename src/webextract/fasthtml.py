@@ -28,7 +28,7 @@ from .htmlblocks import Block, BlockParser
 _TAG_RE = re.compile(
     r"""<(?:
         (?P<end>/(?P<endtag>[a-zA-Z][a-zA-Z0-9:._-]*)\s*>)
-      | (?P<comment>!--.*?--!?>)
+      | (?P<comment>!--.*?--\s*>)
       | (?P<decl>![^>]*>)
       | (?P<pi>\?[^>]*>)
       | (?P<start>(?P<starttag>[a-zA-Z][a-zA-Z0-9:._-]*)
@@ -154,6 +154,12 @@ def tokenize_into(p: BlockParser, html: str) -> None:
             endtag = m.group("endtag")
             if endtag is not None:
                 handle_endtag(endtag.lower())
+            elif m.group("decl") is not None and html[lt + 1:lt + 4] == "!--":
+                # `<!--` fell through to the decl branch only because the
+                # comment never closes with `--\s*>` (stdlib _commentclose
+                # semantics); the stdlib's unterminated-comment EOF recovery
+                # is intricate — don't guess, fall back.
+                raise FastTokenizerFallback(f"unterminated comment at {lt}")
             # else: comment / declaration / processing instruction — invisible
             i = m.end()
 

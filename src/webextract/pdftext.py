@@ -55,9 +55,9 @@ def _unescape(s: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
-            j = i + 1
-            while j < min(i + 4, n) and s[j:j + 1].isdigit():
+        elif nxt and nxt in b"01234567":  # octal digits only: \8 \9 are
+            j = i + 1                     # unknown escapes (backslash drops)
+            while j < min(i + 4, n) and s[j:j + 1] in b"01234567":
                 j += 1
             out.append(int(s[i + 1:j], 8) & 0xFF)
             i = j

@@ -379,17 +379,22 @@ def _hits_sql(c: str, word: str) -> str:
     "q09_doc_stats_by_lang",
     """
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
+           CAST(((SUM(n_chars) * 20000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+                AS DOUBLE) AS avg_chars,
            SUM(n_chars) AS total_chars
     FROM documents GROUP BY lang
     """,
-    doc="corpus profiling aggregate (per-language doc stats)",
+    doc="corpus profiling aggregate (per-language doc stats); the 4-dp "
+        "rounded mean is computed with exact integer half-up arithmetic "
+        "((sum*2e4 + n) div (2n)) so partial-aggregation order can't drift "
+        "the last double ulp between engines",
 )
 def q09(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).cast("double").alias("avg_chars"),
+        (F.expr("(sum(n_chars) * 20000 + count(*)) div (2 * count(*))")
+         / F.lit(10000.0)).cast("double").alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -662,35 +667,118 @@ def q16(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Hash-based dedup & ANN (rows-only: xxhash64/LSH have no DuckDB equivalent;
-# correctness is pytest-verified against exact Jaccard / exact cosine —
-# tests/test_dedup_sim.py)
+# Hash-based dedup: oracle-checked end-to-end via the portable md5-derived
+# 60-bit hash (webextract.dedup.HASH_FNS["md5_60"]), which DuckDB reproduces
+# exactly. The xxhash64 production path (faster, 64-bit, multi-arg JVM hash)
+# runs the identical plan and is pytest-verified against exact Jaccard
+# (tests/test_dedup_sim.py).
 # --------------------------------------------------------------------------
+
+def _md5h_sql(x: str) -> str:
+    """DuckDB twin of dedup._md5_60 (no seed: seed is concat'd by caller)."""
+    return f"(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+
+
+_MH_PERM, _MH_BANDS, _MH_TAU = 64, 16, 0.7
+_MH_RPB = _MH_PERM // _MH_BANDS
+
+_Q17_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN({_md5h_sql(f'''g || '|{i}' ''')}) AS h{i}"
+                    for i in range(_MH_PERM))}
+  FROM grams GROUP BY doc_id
+), bucketed AS (
+  SELECT doc_id, unnest([{', '.join(
+      _md5h_sql('concat_ws(' + "'|', " + str(k) + ', ' + ', '.join(
+          f'h{k * _MH_RPB + r}' for r in range(_MH_RPB)) + ')')
+      for k in range(_MH_BANDS))}]) AS bucket
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END'
+                           for i in range(_MH_PERM))}) AS DOUBLE) / {_MH_PERM}
+           AS est_jaccard
+  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {_MH_TAU}
+"""
+
 
 @register(
     "q17_minhash_near_pairs",
-    None,
-    doc="MinHash(64)+LSH(16 bands) near-dup candidates over documents; "
-        "pytest-verified recall vs exact Jaccard (test_minhash_on_driver_documents)",
+    _Q17_SQL,
+    doc="MinHash(64)+LSH(16 bands) near-dup candidates over documents, "
+        "oracle-checked via the portable md5_60 hash; xxhash64 twin is "
+        "pytest-verified vs exact Jaccard (test_minhash_on_driver_documents)",
 )
 def q17(spark, sf_dir):
     from .dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id", n=2,
-                             num_perm=64, bands=16, verify_tau=0.7)
+                             num_perm=_MH_PERM, bands=_MH_BANDS,
+                             verify_tau=_MH_TAU, hash_fn="md5_60")
+
+
+_SH_BITS, _SH_BANDS = 60, 15
+_SH_WIDTH = _SH_BITS // _SH_BANDS
+
+_Q18_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2
+), hashed AS (
+  SELECT doc_id, {_md5h_sql('g')} AS h FROM grams
+), sums AS (
+  SELECT doc_id, COUNT(*) AS n_sh,
+         {', '.join(
+             f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+             for b in range(_SH_BITS))}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id AS id, n_sh,
+         ({' + '.join(
+             f'CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END'
+             for b in range(_SH_BITS))}) AS simhash
+  FROM sums
+)
+SELECT id, simhash, n_sh,
+       {', '.join(
+           f'(simhash >> {k * _SH_WIDTH}) & {(1 << _SH_WIDTH) - 1} AS band{k}'
+           for k in range(_SH_BANDS))}
+FROM fp
+"""
 
 
 @register(
     "q18_simhash_fingerprints",
-    None,
-    doc="64-bit SimHash fingerprints + Hamming band keys over documents",
+    _Q18_SQL,
+    doc="SimHash fingerprints + Hamming band keys over documents, "
+        "oracle-checked via the portable md5_60 hash (60-bit, 15 bands); the "
+        "64-bit xxhash64 twin is pytest-verified (test_dedup_sim.py)",
 )
 def q18(spark, sf_dir):
     from .dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, text_col="text", id_col="doc_id", n=2, bands=16)
+    return simhash(d, text_col="text", id_col="doc_id", n=2, bands=_SH_BANDS,
+                   hash_fn="md5_60")
 
 
 @register(
@@ -720,6 +808,57 @@ def q26(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return ivf_topk(e, q, k=20, n_centroids=8, nprobe=3, n_iter=2)
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous schema routing (webextract.routing): classify each doc to a
+# registered type and extract that type's schema in one conditional
+# projection; output is the UniversalExtractionResult shape
+# (doc_type, data JSON, error). Oracle mirrors the rules + JSON per-type.
+# --------------------------------------------------------------------------
+
+_PAD = "(' ' || lower(text) || ' ')"
+_Q27_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN strpos({_PAD}, ' customer ') > 0 THEN 'commerce'
+              WHEN strpos({_PAD}, ' vector ') > 0 THEN 'ml'
+              WHEN length(trim(text)) > 0 THEN 'general'
+              ELSE 'unknown' END AS doc_type
+  FROM documents
+)
+SELECT doc_id, doc_type,
+       CASE doc_type
+         WHEN 'commerce' THEN to_json(struct_pack(
+            n_customer := {_hits_sql('text', 'customer')},
+            n_order := {_hits_sql('text', 'order')},
+            n_tokens := CAST({_TOK_COUNT_SQL.format(c='text')} AS BIGINT)))::VARCHAR
+         WHEN 'ml' THEN to_json(struct_pack(
+            n_vector := {_hits_sql('text', 'vector')},
+            n_hash := {_hits_sql('text', 'hash')},
+            n_tokens := CAST({_TOK_COUNT_SQL.format(c='text')} AS BIGINT)))::VARCHAR
+         WHEN 'general' THEN to_json(struct_pack(
+            first_token := string_split_regex(trim(text), '\\s+')[1],
+            n_tokens := CAST({_TOK_COUNT_SQL.format(c='text')} AS BIGINT)))::VARCHAR
+         ELSE NULL END AS data,
+       CASE WHEN doc_type = 'unknown' THEN 'Unknown document type'
+            ELSE NULL END AS error
+FROM base
+"""
+
+
+@register(
+    "q27_heterogeneous_routing",
+    _Q27_SQL,
+    doc="heterogeneous schema routing: rules-based doc_type classification + "
+        "per-type schema extraction in one conditional projection "
+        "(UniversalExtractionResult shape: doc_type, data JSON, error)",
+)
+def q27(spark, sf_dir):
+    from .routing import documents_registry
+
+    d = _t(spark, sf_dir, "documents")
+    return documents_registry().route(d, text_col="text", id_col="doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

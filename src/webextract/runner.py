@@ -7,7 +7,8 @@ status store (:135-250) becomes a **lineage table** keyed
 left-anti join of input buckets against completed lineage; the progress
 tracker (:619-686) becomes a **metrics table**; the DLQ (:480-608) an
 **errors table**; idempotent export (:841-858) a deterministic
-overwrite-per-wave directory layout.
+overwrite-per-bucket directory layout; re-queuing exhausted-retry documents
+(:594-607) becomes :func:`reprocess_errors`.
 
 Why buckets, not physical partition ids: lineage must survive re-planning.
 ``partition_id = pmod(xxhash64(url, salt), n_buckets)`` is a pure function of
@@ -16,11 +17,16 @@ size — this is what makes "resume at 4N executors what N executors started"
 work. Salting the hash also defuses domain skew (north rule): urls from one
 huge domain spread uniformly over buckets.
 
-Durability model (100 TB story): a *wave* is the commit unit. Each wave
-processes a chunk of pending buckets, overwrites its own output directory
-(idempotent re-run), then appends lineage. A crash mid-wave re-runs only that
-wave; completed waves are pruned by the anti-join. With Iceberg available the
-same layout maps to MERGE/overwrite-by-partition commits.
+Durability model (100 TB story): the BUCKET is the commit unit. Each wave
+processes a chunk of pending buckets and commits them with **dynamic
+partition overwrite** (``partitionBy(partition_id)`` +
+``partitionOverwriteMode=dynamic`` — the parquet analog of Iceberg's
+overwrite-by-partition), then appends lineage. A crash mid-wave re-runs that
+wave's buckets and each bucket OVERWRITES its own directory — re-runs can
+never orphan or double-count a bucket's rows, *even when the resumed run
+groups pending buckets into different waves* (wave composition is a
+scheduling choice, not a storage key). Extraction is deterministic per
+document, so a re-committed bucket is byte-identical.
 """
 
 from __future__ import annotations
@@ -47,24 +53,40 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("parse_failures", T.LongType()),
 ])
 
+ERRORS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("stage", T.StringType()),
+    T.StructField("html_bytes", T.LongType()),
+    T.StructField("partition_id", T.IntegerType()),
+])
+
 
 @dataclass
 class RunPaths:
     root: str
 
-    def extracted(self, run_id: str, wave: int | None = None) -> str:
-        base = os.path.join(self.root, "extracted", f"run_id={run_id}")
-        return base if wave is None else os.path.join(base, f"wave={wave:05d}")
+    def extracted(self, run_id: str) -> str:
+        return os.path.join(self.root, "extracted", f"run_id={run_id}")
 
-    def errors(self, run_id: str, wave: int | None = None) -> str:
-        base = os.path.join(self.root, "errors", f"run_id={run_id}")
-        return base if wave is None else os.path.join(base, f"wave={wave:05d}")
+    def errors(self, run_id: str) -> str:
+        return os.path.join(self.root, "errors", f"run_id={run_id}")
+
+    def metrics(self, run_id: str) -> str:
+        return os.path.join(self.root, "metrics", f"run_id={run_id}")
+
+    def retry_extracted(self, run_id: str, attempt: int) -> str:
+        return os.path.join(self.root, "retries", f"run_id={run_id}",
+                            f"attempt={attempt:05d}", "extracted")
+
+    def retry_errors(self, run_id: str, attempt: int) -> str:
+        return os.path.join(self.root, "retries", f"run_id={run_id}",
+                            f"attempt={attempt:05d}", "errors")
 
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage")
-
-    def metrics(self) -> str:
-        return os.path.join(self.root, "metrics")
 
 
 def bucket_col(salt: int = DEFAULT_SALT, n_buckets: int = 64):
@@ -104,6 +126,16 @@ def _save_manifest(root: str, run_id: str, n_buckets: int, salt: int) -> None:
         json.dump({"run_id": run_id, "n_buckets": n_buckets, "salt": salt}, f)
 
 
+def _write_by_bucket(df: DataFrame, path: str) -> None:
+    """Commit rows bucket-per-directory with dynamic partition overwrite —
+    only the buckets present in ``df`` are replaced; other buckets' dirs are
+    untouched (Iceberg overwrite-by-partition analog)."""
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("partition_id")
+       .parquet(path))
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -114,6 +146,8 @@ def run_extraction(
     waves: int = 1,
     salt: int | None = None,
     shuffle_partitions: int | None = None,
+    link_density_max: float = 0.5,
+    min_chars_linked: int = 25,
 ) -> dict:
     """The resumable job (reference entry point §3.3). Returns run stats.
 
@@ -122,8 +156,9 @@ def run_extraction(
         scan → filter(bucket ∈ pending_wave)     # partition-pruning analog
              → repartition(bucket)                # co-locate bucket per task
              → mapInPandas(extract)               # fused stage
-             → overwrite wave dir (ok) + DLQ dir  # idempotent commit
-             → append lineage + metrics
+             → dynamic-overwrite bucket dirs      # idempotent commit
+               (all rows; DLQ + metrics derived)
+             → append lineage
     """
     # Resume safety: the bucketing (n_buckets, salt) is part of a run's
     # identity — lineage interpreted under a different bucketing would
@@ -158,13 +193,12 @@ def run_extraction(
     if not pending:
         return stats
 
-    # wave layout is deterministic given (n_buckets, waves): wave w gets every
-    # waves-th pending bucket — a resumed run reconstructs identical waves.
+    # wave layout is a scheduling choice only (bucket dirs are the commit
+    # unit): wave w gets every waves-th pending bucket
     waves = max(1, min(waves, len(pending)))
     wave_buckets = [pending[w::waves] for w in range(waves)]
 
-    for w, buckets in enumerate(wave_buckets):
-        wave_id = buckets[0]  # stable id: first bucket in the wave
+    for buckets in wave_buckets:
         subset = pages_b.filter(F.col("partition_id").isin(buckets))
         n_part = shuffle_partitions or max(len(buckets), 1)
         subset = subset.repartition(n_part, F.col("partition_id"))
@@ -174,17 +208,15 @@ def run_extraction(
         # are committed in one write; the DLQ view and metrics are derived
         # from the committed files (cheap column-pruned scans), never by
         # recomputing the UDF.
-        extracted = extract_df(subset, repartition=False)
-        extracted.write.mode("overwrite").parquet(paths.extracted(run_id, wave_id))
+        extracted = extract_df(subset, repartition=False,
+                               link_density_max=link_density_max,
+                               min_chars_linked=min_chars_linked)
+        _write_by_bucket(extracted, paths.extracted(run_id))
 
-        committed = spark.read.parquet(paths.extracted(run_id, wave_id))
-        errs = committed.filter(F.col("status") != "ok").select(
-            "url", "warc_ts", "status", "error",
-            # stage-tagged DLQ (reference production-patterns.md:480-608):
-            # error messages are "<stage>: <detail>" by construction
-            F.split("error", ":").getItem(0).alias("stage"),
-            "html_bytes", "partition_id")
-        errs.write.mode("overwrite").parquet(paths.errors(run_id, wave_id))
+        committed = (spark.read.parquet(paths.extracted(run_id))
+                     .filter(F.col("partition_id").isin(buckets)))  # dir-pruned
+        _, errs = split_errors(committed)
+        _write_by_bucket(errs, paths.errors(run_id))
 
         is_ok = F.col("status") == "ok"
         metrics = (
@@ -195,10 +227,10 @@ def run_extraction(
                     .cast("long").alias("bytes_extracted"),
                 F.count(F.when(~is_ok, 1)).cast("long").alias("parse_failures"),
             )
-            .select(F.lit(run_id).alias("run_id"), "partition_id",
-                    "docs_processed", "bytes_extracted", "parse_failures")
+            .select(F.lit(run_id).alias("run_id"), "docs_processed",
+                    "bytes_extracted", "parse_failures", "partition_id")
         )
-        metrics.write.mode("append").parquet(paths.metrics())
+        _write_by_bucket(metrics, paths.metrics(run_id))
 
         lineage = spark.createDataFrame(
             [(run_id, int(b), "completed") for b in buckets],
@@ -210,23 +242,117 @@ def run_extraction(
     return stats
 
 
+def _committed_retry_attempts(root: str, run_id: str) -> list[int]:
+    """Retry attempts whose errors dir exists (the attempt's commit marker)."""
+    base = os.path.join(root, "retries", f"run_id={run_id}")
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in sorted(os.listdir(base)):
+        if name.startswith("attempt=") and \
+                os.path.isdir(os.path.join(base, name, "errors")):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
 def load_extracted(spark: SparkSession, root: str, run_id: str,
                    include_failures: bool = False) -> DataFrame:
     """The run's committed rows; ok rows only unless include_failures.
 
-    (The extracted wave dirs hold every processed row — ok and failed — so
+    (The extracted bucket dirs hold every processed row — ok and failed — so
     extraction executes once; the errors dirs are a derived DLQ view.)
+    A (url, warc_ts) has at most ONE ok row across buckets + retry attempts:
+    buckets partition rows, and a reprocess attempt's input is the current
+    DLQ, which excludes already-recovered rows. With ``include_failures`` a
+    row that failed in several attempts appears once per attempt.
     """
-    df = spark.read.option("recursiveFileLookup", "true").parquet(
-        RunPaths(root).extracted(run_id))
+    paths = RunPaths(root)
+    df = spark.read.parquet(paths.extracted(run_id))
+    for k in _committed_retry_attempts(root, run_id):
+        df = df.unionByName(spark.read.parquet(paths.retry_extracted(run_id, k)))
     return df if include_failures else df.filter(F.col("status") == "ok")
 
 
 def load_errors(spark: SparkSession, root: str, run_id: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        RunPaths(root).errors(run_id))
+    """The live DLQ: rows whose LATEST attempt failed.
+
+    Bucket error rows superseded by a reprocess attempt (recovered OR
+    re-failed) are replaced by that attempt's outcome: fold over committed
+    retry attempts, anti-joining each attempt's input keys and unioning its
+    still-failing rows. Attempt counts are tiny (1-3), so the fold is a
+    couple of anti-joins, not an iterative plan blowup.
+    """
+    paths = RunPaths(root)
+    try:
+        errs = spark.read.parquet(paths.errors(run_id))
+    except Exception:  # noqa: BLE001 — a clean run commits no error dirs
+        errs = spark.createDataFrame([], ERRORS_SCHEMA)
+    # partition discovery puts partition_id last; normalize column order
+    errs = errs.select([f.name for f in ERRORS_SCHEMA.fields])
+    for k in _committed_retry_attempts(root, run_id):
+        # keyed (url, warc_ts): recrawls legitimately repeat a url
+        reprocessed = spark.read.parquet(
+            paths.retry_extracted(run_id, k)).select("url", "warc_ts").distinct()
+        retry_errs = spark.read.parquet(paths.retry_errors(run_id, k)) \
+            .select([f.name for f in ERRORS_SCHEMA.fields])
+        errs = (errs.join(reprocessed, ["url", "warc_ts"], "left_anti")
+                    .unionByName(retry_errs))
+    return errs
 
 
 def load_metrics(spark: SparkSession, root: str, run_id: str) -> DataFrame:
-    df = spark.read.parquet(RunPaths(root).metrics())
-    return df.filter(F.col("run_id") == run_id)
+    df = spark.read.parquet(RunPaths(root).metrics(run_id))
+    return df.filter(F.col("run_id") == run_id) \
+             .select([f.name for f in METRICS_SCHEMA.fields])
+
+
+def reprocess_errors(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    run_id: str,
+    *,
+    link_density_max: float = 0.5,
+    min_chars_linked: int = 25,
+) -> dict:
+    """Re-drive the DLQ through extraction (reference production-patterns
+    ``docs/guides/production-patterns.md:594-607``: exhausted-retry documents
+    are re-queued once the transient cause clears).
+
+    Input is the *current* DLQ (recovered rows are never reprocessed twice);
+    output is an attempt-keyed overwrite directory pair, so the attempt is as
+    idempotent as a wave: attempt number = count of committed attempts, and a
+    crash mid-attempt re-runs and overwrites the same attempt.
+    """
+    manifest = _load_manifest(root, run_id)
+    if manifest is None:
+        raise ValueError(f"unknown run_id {run_id!r}: no manifest under {root}")
+    paths = RunPaths(root)
+    attempt = len(_committed_retry_attempts(root, run_id))
+
+    dlq_keys = (load_errors(spark, root, run_id)
+                .select("url", "warc_ts").distinct())
+    n_dlq = dlq_keys.count()
+    if n_dlq == 0:
+        return {"run_id": run_id, "attempt": attempt, "reprocessed": 0,
+                "recovered": 0, "still_failing": 0}
+    subset = (
+        pages.join(dlq_keys, ["url", "warc_ts"], "left_semi")
+        .withColumn("partition_id",
+                    bucket_col(manifest["salt"], manifest["n_buckets"]))
+    )
+    extracted = extract_df(subset, repartition=False,
+                           link_density_max=link_density_max,
+                           min_chars_linked=min_chars_linked)
+    extracted.write.mode("overwrite").parquet(paths.retry_extracted(run_id, attempt))
+
+    committed = spark.read.parquet(paths.retry_extracted(run_id, attempt))
+    _, still_failing = split_errors(committed)
+    # the errors dir write is the attempt's commit marker — last
+    still_failing.write.mode("overwrite").parquet(paths.retry_errors(run_id, attempt))
+
+    n_in = committed.count()
+    n_fail = spark.read.parquet(paths.retry_errors(run_id, attempt)).count()
+    return {"run_id": run_id, "attempt": attempt,
+            "reprocessed": n_in, "recovered": n_in - n_fail,
+            "still_failing": n_fail}

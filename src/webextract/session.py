@@ -51,6 +51,16 @@ def get_spark(app: str = "webextract", master: str | None = None,
         # parquet scans: 128 MiB splits is the right default for big files;
         # tiny local fixtures are coalesced by AQE anyway.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Transient-failure retry surface (reference production-patterns
+        # retries/backoff, docs/guides/production-patterns.md:267-410): Spark
+        # retries a failed task this many times on other executors before
+        # failing the stage. Per-row *permanent* parse failures never throw —
+        # they land in the DLQ (sparkjob.split_errors) and can be re-driven
+        # with runner.reprocess_errors; this conf covers infra blips
+        # (executor loss, OOM, shuffle fetch). local[*] keeps the default
+        # behavior of failing fast only when retries are exhausted.
+        .config("spark.task.maxFailures",
+                os.environ.get("WEBEXTRACT_TASK_MAX_FAILURES", "4"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("WEBEXTRACT_DRIVER_MEM", "8g"))
     )

@@ -133,18 +133,61 @@ def _extract_batches(batches: Iterator[pd.DataFrame], link_density_max: float,
         })
 
 
+def _input_bytes(df: DataFrame) -> int:
+    """Total bytes behind the DataFrame's file scan (0 if not file-backed).
+
+    Uses the public ``inputFiles()`` API + filesystem stat — no data read,
+    no private py4j surface.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in df.inputFiles():
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return 0  # remote store: sizes not statable from the driver
+        path = parsed.path or uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 0
+    return total
+
+
 def pick_partitions(df: DataFrame, target_bytes: int = 96 * 1024 * 1024,
                     default: int = 32) -> int:
     """Partition count from input size, not a constant.
 
     At 100 TB this is what keeps per-task work bounded (~96 MiB of html per
-    task); locally it collapses to the core count. Uses the relation's
-    optimizer byte statistics (file size for parquet scans) — no data read.
+    task); locally it collapses to the core count. Resolution order:
+
+    1. ``spark.webextract.extract.partitions`` session conf — the explicit
+       cluster-operator override;
+    2. public ``df.inputFiles()`` byte-summing (local/file scans);
+    3. the optimizer's byte statistics via the private ``_jdf`` handle —
+       works for remote stores, but may break on Spark upgrades, hence last;
+    4. ``default``.
     """
     try:
-        nbytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        nbytes = int(min(nbytes, 1 << 60))
-    except Exception:  # noqa: BLE001 — stats unavailable → fall back
+        conf = df.sparkSession.conf.get("spark.webextract.extract.partitions", None)
+        if conf:
+            return int(conf)
+    except Exception:  # noqa: BLE001 — conf unavailable: keep resolving
+        pass
+    nbytes = 0
+    try:
+        nbytes = _input_bytes(df)
+    except Exception:  # noqa: BLE001 — non-file source
+        nbytes = 0
+    if nbytes <= 0:
+        try:
+            nbytes = int(min(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes(),
+                1 << 60))
+        except Exception:  # noqa: BLE001 — stats unavailable → fall back
+            return default
+    if nbytes <= 0:
         return default
     return max(default, min(1_000_000, nbytes // target_bytes + 1))
 

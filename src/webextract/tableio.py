@@ -5,15 +5,19 @@ The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
 jar (verified — /opt/spark/jars), so the engine codes against this thin
 seam instead of hardcoding either backend:
 
-- ``ParquetIO``  — path-based tables; wave-overwrite = directory overwrite
-  (what runner.py uses today; atomic enough for local/test runs).
-- ``IcebergIO``  — catalog tables; wave-overwrite = ``overwritePartitions``
-  on the wave key and appends become snapshot commits, giving true
+- ``ParquetIO``  — path-based tables; a bucket commit is a dynamic partition
+  overwrite of the bucket's directory (what runner.py uses today; atomic
+  enough for local/test runs).
+- ``IcebergIO``  — catalog tables; a bucket commit is ``overwritePartitions``
+  on the bucket key and appends become snapshot commits, giving true
   transactional resume on a real cluster. Constructing it verifies the
   catalog is configured and raises a clear error otherwise.
 
 Both expose the same four verbs the runner needs: ``append``,
-``overwrite_wave``, ``read``, ``exists``.
+``overwrite_buckets``, ``read``, ``exists``. The commit unit is the lineage
+BUCKET (``partition_id``), never the wave: wave composition changes when a
+resumed run re-plans, bucket identity never does (see runner.py's
+durability model).
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ class TableIO(ABC):
     def append(self, df: DataFrame, table: str) -> None: ...
 
     @abstractmethod
-    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
-                       wave: int) -> None: ...
+    def overwrite_buckets(self, df: DataFrame, table: str, run_id: str) -> None:
+        """Replace exactly the ``partition_id`` buckets present in ``df``."""
 
     @abstractmethod
     def read(self, spark: SparkSession, table: str) -> DataFrame: ...
@@ -40,30 +44,34 @@ class TableIO(ABC):
 
 
 class ParquetIO(TableIO):
-    """Directory-per-table under a root; waves are subdirectories."""
+    """Directory-per-table under a root; buckets are partition dirs."""
 
     def __init__(self, root: str):
         self.root = root
 
-    def _path(self, table: str, run_id: str | None = None,
-              wave: int | None = None) -> str:
+    def _path(self, table: str, run_id: str | None = None) -> str:
         p = os.path.join(self.root, table)
         if run_id is not None:
             p = os.path.join(p, f"run_id={run_id}")
-        if wave is not None:
-            p = os.path.join(p, f"wave={wave:05d}")
         return p
 
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self._path(table))
 
-    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
-                       wave: int) -> None:
-        df.write.mode("overwrite").parquet(self._path(table, run_id, wave))
+    def overwrite_buckets(self, df: DataFrame, table: str, run_id: str) -> None:
+        (df.write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("partition_id")
+           .parquet(self._path(table, run_id)))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.option("recursiveFileLookup", "true") \
             .parquet(self._path(table))
+
+    def read_run(self, spark: SparkSession, table: str, run_id: str) -> DataFrame:
+        """Partition-discovered read of one run (bucket dirs pruned by any
+        partition_id filter the caller applies)."""
+        return spark.read.parquet(self._path(table, run_id))
 
     def exists(self, spark: SparkSession, table: str) -> bool:
         return os.path.exists(self._path(table))
@@ -73,10 +81,10 @@ class IcebergIO(TableIO):
     """Iceberg catalog tables (``catalog.namespace.table``).
 
     Requires ``spark.sql.catalog.<name>`` configured with the Iceberg runtime
-    on the classpath. Wave overwrites use dynamic partition overwrite on the
-    (run_id, wave) columns, so a re-run of a crashed wave is one atomic
-    snapshot replace — the production-strength version of the parquet
-    directory swap.
+    on the classpath. Bucket commits use dynamic partition overwrite on the
+    (run_id, partition_id) columns, so a re-run of a crashed wave's buckets
+    is one atomic snapshot replace — the production-strength version of the
+    parquet directory swap.
     """
 
     def __init__(self, spark: SparkSession, namespace: str, catalog: str = "iceberg"):
@@ -95,12 +103,10 @@ class IcebergIO(TableIO):
     def append(self, df: DataFrame, table: str) -> None:
         df.writeTo(self._name(table)).append()
 
-    def overwrite_wave(self, df: DataFrame, table: str, run_id: str,
-                       wave: int) -> None:
+    def overwrite_buckets(self, df: DataFrame, table: str, run_id: str) -> None:
         from pyspark.sql import functions as F
 
         (df.withColumn("run_id", F.lit(run_id))
-           .withColumn("wave", F.lit(wave))
            .writeTo(self._name(table))
            .overwritePartitions())
 

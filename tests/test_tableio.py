@@ -6,16 +6,19 @@ from webextract.runner import RunPaths
 from webextract.tableio import IcebergIO, ParquetIO
 
 
-def test_parquet_io_roundtrip(spark, tmp_path):
+def test_parquet_io_bucket_overwrite(spark, tmp_path):
     io = ParquetIO(str(tmp_path))
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
-    io.overwrite_wave(df, "extracted", "r1", 0)
-    io.overwrite_wave(df, "extracted", "r1", 1)
+    df = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                               "id int, v string, partition_id int")
+    io.overwrite_buckets(df, "extracted", "r1")
     assert io.exists(spark, "extracted")
-    assert io.read(spark, "extracted").count() == 4
-    # overwrite of a wave is idempotent, not additive
-    io.overwrite_wave(df, "extracted", "r1", 1)
-    assert io.read(spark, "extracted").count() == 4
+    assert io.read(spark, "extracted").count() == 2
+    # re-commit of bucket 1 replaces ONLY bucket 1 (dynamic overwrite)
+    df1 = spark.createDataFrame([(3, "c", 1), (4, "d", 1)],
+                                "id int, v string, partition_id int")
+    io.overwrite_buckets(df1, "extracted", "r1")
+    got = {r.id for r in io.read_run(spark, "extracted", "r1").collect()}
+    assert got == {1, 3, 4}
     io.append(df, "lineage")
     io.append(df, "lineage")
     assert io.read(spark, "lineage").count() == 4
@@ -26,10 +29,10 @@ def test_parquet_io_layout_matches_runner(tmp_path):
     Iceberg swap-in replaces both behind one seam."""
     io = ParquetIO(str(tmp_path))
     rp = RunPaths(str(tmp_path))
-    assert io._path("extracted", "r1", 3) == rp.extracted("r1", 3)
-    assert io._path("errors", "r1", 0) == rp.errors("r1", 0)
+    assert io._path("extracted", "r1") == rp.extracted("r1")
+    assert io._path("errors", "r1") == rp.errors("r1")
+    assert io._path("metrics", "r1") == rp.metrics("r1")
     assert io._path("lineage") == rp.lineage()
-    assert io._path("metrics") == rp.metrics()
 
 
 def test_iceberg_io_requires_catalog(spark):

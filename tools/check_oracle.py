@@ -30,9 +30,12 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # exact repr: the driver hashes values exactly, so the local gate
+        # must too (round-1 q09 passed locally at 9 digits but failed the
+        # driver's exact hash)
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        return repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
