@@ -27,15 +27,26 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
 
 
-def corpus_parquet(n_docs: int, seed: int = 42, content_scale: int = 1) -> str:
-    """Materialize (once per size) the synthetic corpus under /tmp."""
+def corpus_parquet(n_docs: int, seed: int = 42, content_scale: int = 1,
+                   row_group_rows: int = 250) -> str:
+    """Materialize (once per size) the synthetic corpus under /tmp.
+
+    Row groups are the scan's split granularity (Spark cannot split inside
+    one), so they are sized for adequate task parallelism — the local analog
+    of Iceberg's ``write.parquet.row-group-size-bytes`` sizing. With
+    1000-row (~13 MiB at scale 10) groups, a 4 MiB maxPartitionBytes scan of
+    the 80k corpus yields only ~82 data-carrying tasks = 2.5 waves on 32
+    cores, idling 14 cores through the final ~2 s wave; 250-row groups give
+    ~328 tasks and a flat tail.
+    """
     from webextract.corpus import write_corpus_parquet
 
     d = os.path.join(tempfile.gettempdir(),
-                     f"webextract_bench_{n_docs}_{seed}_{content_scale}")
+                     f"webextract_bench_{n_docs}_{seed}_{content_scale}_rg{row_group_rows}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        write_corpus_parquet(d, n_docs, seed=seed, content_scale=content_scale)
+        write_corpus_parquet(d, n_docs, seed=seed, content_scale=content_scale,
+                             row_group_rows=row_group_rows)
         open(marker, "w").close()
     return os.path.join(d, "web_pages.parquet")
 
@@ -67,12 +78,25 @@ def main() -> None:
     # -- headline: extraction throughput ---------------------------------
     pages = spark.read.parquet(pages_path)
     n_rows = pages.count()
+    # Production plan for splittable columnar input (parquet/Iceberg — the
+    # north rule's input table): NO repartition. Scan splits
+    # (maxPartitionBytes) already bound per-task bytes, extraction cost is
+    # row-wise, so domain clustering cannot skew task cost — the job is ONE
+    # stage (scan -> mapInPandas -> sink) with Python workers busy from t=0.
+    # The salted url-hash shuffle is for UNSPLITTABLE / pathological sources
+    # (gzip WARC dumps, giant single files); it is benched separately
+    # (BENCH/SKEW.md: 5.07x on a domain-clustered layout) and can be forced
+    # here with BENCH_REPARTITION=1. Measured: the shuffle costs ~40% at
+    # local[32] because its map stage is JVM-only — a pure stage-barrier
+    # stall for the Python workers (BENCH/DECOMPOSE.md).
+    reparte = os.environ.get("BENCH_REPARTITION", "0") == "1"
+    kw = dict(num_partitions=cpus * 2) if reparte else dict(repartition=False)
     # warm-up: spin up every Python worker and exercise the full path, so the
     # timed run measures steady-state throughput (worker pool is reused)
-    extract_df(pages.limit(cpus * 128), num_partitions=cpus).write \
+    extract_df(pages.limit(cpus * 128), **kw).write \
         .format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
-    extract_df(pages, num_partitions=cpus * 2).write.format("noop") \
+    extract_df(pages, **kw).write.format("noop") \
         .mode("overwrite").save()
     t_extract = time.perf_counter() - t0
     timings["extract"] = round(t_extract, 3)

@@ -781,18 +781,59 @@ def q18(spark, sf_dir):
                    hash_fn="md5_60")
 
 
+def _q19_sql() -> str:
+    """DuckDB twin of ann_topk(k=20, n_planes=6, probe_hamming=2, seed=7).
+
+    The hyperplanes are deterministic Python floats (sim._hyperplane);
+    embedding them as repr() literals makes both engines parse the SAME
+    doubles, and the sequential-fold dot product (Spark aggregate/zip_with ≡
+    DuckDB list_dot_product on DOUBLE lists) keeps projections bit-exact —
+    so bucket codes, the Hamming probe set, and cosines all agree.
+    """
+    from .sim import _hyperplane
+
+    n_planes, dim = 6, 64
+    planes = [_hyperplane(p, dim, seed=7) for p in range(n_planes)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in pl)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)::BIGINT"
+        for p, pl in enumerate(planes))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, e, ({bucket}) AS bucket FROM v
+    ), q AS (
+      SELECT e AS qv, bucket AS qb FROM b WHERE vec_id = 0
+    ), topk AS (
+      SELECT b.vec_id, b.bucket,
+             list_dot_product(b.e, q.qv)
+               / (sqrt(list_dot_product(b.e, b.e))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM b, q
+      WHERE bit_count(xor(b.bucket, q.qb)) <= 2
+      ORDER BY cos DESC, b.vec_id LIMIT 20
+    )
+    SELECT vec_id, bucket, CAST(ROUND(cos, 9) AS DOUBLE) AS cosine FROM topk
+    """
+
+
 @register(
     "q19_ann_topk",
-    None,
-    doc="LSH-bucketed approximate cosine top-k vs exact baseline q15; "
-        "pytest-verified recall (test_ann_topk_matches_exact_on_clusters)",
+    _q19_sql(),
+    doc="LSH-bucketed approximate cosine top-k, oracle-checked (deterministic "
+        "hyperplanes embedded as literals in both engines); recall vs exact "
+        "baseline is pytest-verified (test_ann_topk_matches_exact_on_clusters)",
 )
 def q19(spark, sf_dir):
     from .sim import ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ann_topk(e, q, k=20, n_planes=6, probe_hamming=2)
+    out = ann_topk(e, q, k=20, n_planes=6, probe_hamming=2)
+    return out.select("vec_id", "bucket",
+                      F.round("cosine", 9).cast("double").alias("cosine"))
 
 
 @register(

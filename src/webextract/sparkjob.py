@@ -199,10 +199,16 @@ def extract_df(pages: DataFrame, *, salt: int = DEFAULT_SALT,
                min_chars_linked: int = 25) -> DataFrame:
     """web_pages DataFrame → extracted DataFrame (lazy; no action here).
 
-    ``repartition=False`` skips the shuffle — correct when the input is
-    already well-balanced (e.g. freshly scanned uniform parquet); the salted
-    url-hash shuffle is for skewed/clustered layouts (one domain per input
-    file is common in crawl dumps).
+    Repartition guidance (measured — BENCH/DECOMPOSE.md): for SPLITTABLE
+    columnar sources (parquet/Iceberg) prefer ``repartition=False`` — scan
+    splits (maxPartitionBytes) already bound per-task bytes and extraction
+    cost is row-wise, so domain clustering cannot skew a task; the job is
+    then ONE stage and Python workers are busy from t=0 (the shuffle's
+    JVM-only map stage otherwise stalls every worker: ~40% wall at 32
+    cores). Keep the salted url-hash shuffle for UNSPLITTABLE or
+    pathologically-laid-out sources (gzip WARC dumps, giant single files,
+    one-domain-per-file layouts) where splits can't bound per-task work —
+    5.07x on a domain-clustered layout (BENCH/SKEW.md).
     """
     cols = ["url", "warc_ts", "lang", "html"]  # column pruning to the scan
     if "partition_id" in pages.columns:

@@ -147,3 +147,17 @@ def test_write_corpus_parquet(tmp_path):
     assert pt.num_rows >= 60  # recrawls add rows
     assert tt.num_rows == 60
     assert set(pt.column_names) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_pdf_octal_and_unknown_escapes():
+    """ADVICE round 1: \\8 and \\9 are unknown escapes per the PDF spec (the
+    backslash drops); only \\0-\\7 start octal runs. A string containing \\8
+    must parse, not route to the DLQ."""
+    from webextract.pdftext import _unescape
+
+    assert _unescape(rb"a\101b") == b"aAb"          # 3-digit octal
+    assert _unescape(rb"a\10b") == b"a\x08b"        # 2-digit octal stops at b
+    assert _unescape(rb"a\8b") == b"a8b"            # \8: drop backslash
+    assert _unescape(rb"a\9\8z") == b"a98z"
+    assert _unescape(rb"oct\0478") == b"oct'8"      # octal run is max 3 digits
+    assert _unescape(rb"\n\t\(\)\\") == b"\n\t()\\"

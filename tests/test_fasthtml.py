@@ -97,3 +97,23 @@ def test_extract_document_unchanged():
             assert r.status != "ok"
         else:
             assert r.text == t["expected_text"]
+
+
+def test_comment_close_matches_stdlib():
+    """ADVICE round 1: the fast comment regex must end comments exactly where
+    stdlib's _commentclose (--\\s*>) does, incl. whitespace closes and --!>
+    non-closes; unterminated comments fall back rather than guess."""
+    cases = [
+        "<p><!--a-- >b--></p>",       # stdlib closes at '-- >' → 'b-->' is text
+        "<p><!--a--!>b--></p>",       # '--!>' does NOT close; swallows b
+        "<p><!-- c --  > tail</p>",   # whitespace between -- and >
+        "<p>a<!--x--!-->b</p>",
+        "<p><!---></p><p>t</p>",
+        "<p><!----></p><p>t</p>",
+        "<p><!--a--x-->b</p>",
+        "<p><!--unterminated and <b>more</b></p>",  # fallback path
+        "<p><!-->x</p>",
+    ]
+    for html in cases:
+        assert _blocks_sig(parse_blocks_fast(html, CLASS_BLOCKLIST)) == \
+            _blocks_sig(parse_blocks(html, CLASS_BLOCKLIST)), html
