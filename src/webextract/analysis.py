@@ -122,6 +122,23 @@ def langid_df(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# tokenization, BPE-ish
+# ---------------------------------------------------------------------------
+
+# GPT-2-style coarse token classes: letter runs, digit runs, single
+# punctuation marks. Deliberately regex-engine-portable (no \w, no unicode
+# classes) so Java regex (Spark) and RE2-ish (DuckDB) agree byte-for-byte.
+BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpeish_token_count(col: Column | str = "text") -> Column:
+    """Sub-word-ish token count: the unit LLM token budgeting actually wants
+    (whitespace tokens undercount punctuation-heavy / code-like text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 
@@ -135,3 +152,48 @@ def fingerprint(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.xxhash64(norm)
+
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 4,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every token k-gram, slide a window of ``window``
+    consecutive hashes, keep each window's minimum, dedupe.
+
+    Guarantees: any shared run of ``window + k - 1`` tokens between two docs
+    yields at least one shared fingerprint — a position-robust partial-
+    overlap detector (plagiarism/quote/mirror detection), complementing
+    MinHash's whole-document similarity. (The classical presentation rolls a
+    Karp-Rabin hash for CPU reasons; hashing each k-gram directly is
+    fingerprint-equivalent, and here the hash is a single codegen'd
+    expression — there is no per-character Python loop to optimize away.)
+
+    Entirely JVM-side: one projection with nested array expressions, one
+    explode; output (id, fp) pairs ready for a self-join on fp.
+    ``hash_fn="md5_60"`` gives the DuckDB-reproducible variant (see
+    webextract.dedup.HASH_FNS).
+    """
+    from .dedup import HASH_FNS
+
+    if hash_fn == "xxhash64":
+        hash_tpl = "xxhash64({G})"
+    elif hash_fn == "md5_60":
+        hash_tpl = "CAST(conv(substring(md5({G}), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; have {list(HASH_FNS)}")
+    parts = ", ".join(f"t[i + {j}]" for j in range(k))
+    gram_hash = hash_tpl.format(G=f"concat_ws(chr(95), {parts})")
+    grams_h = f"transform(sequence(0, size(t) - {k}), i -> {gram_hash})"
+    fps = (f"array_distinct(transform(sequence(0, size(h) - {window}), "
+           f"j -> array_min(slice(h, j + 1, {window}))))")
+    toks = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col), F.split(F.trim(text_col), r"\s+").alias("t"))
+        .filter(F.size("t") >= k + window - 1)
+    )
+    return (
+        toks.select(id_col, F.expr(grams_h).alias("h"))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )

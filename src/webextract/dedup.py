@@ -142,19 +142,52 @@ def _band_bucket(hash_fn: str, bidx: int, cols: list):
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash permutation family for the portable (md5_60) MinHash mode:
+# ONE md5 per shingle, then num_perm multiply-add permutations
+# h_i = (a_i * b + c_i) mod P over b = md5_60(shingle) mod 2^30 — the
+# classical (a*x+b) mod p construction. Bounds: a_i,b < 2^30 so a_i*b < 2^60
+# and the sum < 2^61 — exact in signed 64-bit on BOTH engines (DuckDB BIGINT
+# multiplication raises on overflow rather than wrapping, so staying under
+# 2^63 is load-bearing). 64 md5s/shingle would be ~5x slower (measured).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+_BASE_MOD = 1 << 30
+
+
+def minhash_perm_consts(num_perm: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    import random
+
+    r = random.Random(seed)
+    return [(r.randrange(1, _BASE_MOD) | 1, r.randrange(_BASE_MOD))
+            for _ in range(num_perm)]
+
+
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "url", n: int = 3,
                        num_perm: int = 64,
                        hash_fn: str = "xxhash64") -> DataFrame:
-    """(id, sig: array<long>) — num_perm column-wise minima of seeded hashes.
+    """(id, sig: array<long>) — num_perm column-wise minima of permuted
+    hashes. One aggregation over the shingle table, all JVM-side.
 
-    One aggregation over the shingle table; each permutation is
-    ``hash(shingle, seed_i)``, all JVM-side.
+    xxhash64 mode seeds the hash per permutation (multi-arg JVM hash, cheap);
+    md5_60 mode hashes each shingle ONCE and derives the permutations with
+    the (a*x+b) mod p family above, so the portable mode costs ~one md5 per
+    shingle instead of num_perm of them.
     """
     fn, _ = HASH_FNS[hash_fn]
     g = shingles(df, text_col, id_col, n)
-    mins = [F.min(fn(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_perm)]
-    agg = g.groupBy("id").agg(*mins)
+    if hash_fn == "md5_60":
+        base = (fn(F.col("shingle")) % F.lit(_BASE_MOD)).alias("b")
+        consts = minhash_perm_consts(num_perm)
+        hb = g.select("id", base)
+        mins = [
+            F.min((F.lit(a) * F.col("b") + F.lit(c)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, c) in enumerate(consts)
+        ]
+        agg = hb.groupBy("id").agg(*mins)
+    else:
+        mins = [F.min(fn(F.col("shingle"), i)).alias(f"h{i}")
+                for i in range(num_perm)]
+        agg = g.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 

@@ -682,6 +682,10 @@ def _md5h_sql(x: str) -> str:
 _MH_PERM, _MH_BANDS, _MH_TAU = 64, 16, 0.7
 _MH_RPB = _MH_PERM // _MH_BANDS
 
+from .dedup import MINHASH_P as _MH_P, minhash_perm_consts as _mh_consts  # noqa: E402
+
+_MH_AB = _mh_consts(_MH_PERM)
+
 _Q17_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -690,11 +694,13 @@ WITH toks AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS g
   FROM toks WHERE len(t) >= 2
+), based AS (
+  SELECT doc_id, ({_md5h_sql('g')} % {1 << 30}) AS b FROM grams
 ), sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN({_md5h_sql(f'''g || '|{i}' ''')}) AS h{i}"
-                    for i in range(_MH_PERM))}
-  FROM grams GROUP BY doc_id
+         {', '.join(f"MIN(({a} * b + {c}) % {_MH_P}) AS h{i}"
+                    for i, (a, c) in enumerate(_MH_AB))}
+  FROM based GROUP BY doc_id
 ), bucketed AS (
   SELECT doc_id, unnest([{', '.join(
       _md5h_sql('concat_ws(' + "'|', " + str(k) + ', ' + ', '.join(
@@ -849,6 +855,84 @@ def q26(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return ivf_topk(e, q, k=20, n_centroids=8, nprobe=3, n_iter=2)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting + winnowing fingerprints (webextract.analysis)
+# --------------------------------------------------------------------------
+
+from .analysis import BPEISH_PATTERN as _BPE_PAT  # noqa: E402
+
+
+@register(
+    "q28_bpeish_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpeish,
+           {_TOK_COUNT_SQL.format(c='text')} AS n_ws,
+           CAST(ROUND(CASE WHEN {_TOK_COUNT_SQL.format(c='text')} = 0 THEN 0.0
+                ELSE len(regexp_extract_all(text, '{_BPE_PAT}'))
+                     / CAST({_TOK_COUNT_SQL.format(c='text')} AS DOUBLE) END, 6)
+             AS DOUBLE) AS bpeish_per_word
+    FROM documents
+    """,
+    doc="BPE-ish token counting (letter/digit runs + punctuation marks — the "
+        "LLM-budgeting unit) alongside whitespace tokens; portable regex "
+        "identical under Java regex and DuckDB RE2",
+)
+def q28(spark, sf_dir):
+    from .analysis import bpeish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    nb = bpeish_token_count(F.col("text"))
+    nw = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        nb.alias("n_bpeish"),
+        nw.alias("n_ws"),
+        F.round(F.when(nw == 0, F.lit(0.0)).otherwise(nb / nw.cast("double")), 6)
+         .cast("double").alias("bpeish_per_word"),
+    )
+
+
+_WIN_K, _WIN_W = 3, 4
+
+_Q29_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0
+), ok AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= {_WIN_K + _WIN_W - 1}
+), hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {_WIN_K - 2}),
+           i -> {_md5h_sql(f"concat_ws(chr(95), t[i], t[i+1], t[i+2])")}) AS h
+  FROM ok
+), fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {_WIN_W - 2}),
+           j -> list_min(list_slice(h, j, j + {_WIN_W - 1})))) AS fp_set
+  FROM hashed
+)
+SELECT doc_id, unnest(fp_set) AS fp FROM fps
+"""
+
+
+@register(
+    "q29_winnow_fingerprints",
+    _Q29_SQL,
+    doc="winnowing document fingerprints (MOSS k-gram window-min): any shared "
+        f"{_WIN_K + _WIN_W - 1}-token run between two docs shares a "
+        "fingerprint — position-robust partial-overlap detection; md5_60 "
+        "portable hash, fully oracle-checked",
+)
+def q29(spark, sf_dir):
+    from .analysis import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, id_col="doc_id", text_col="text",
+                               k=_WIN_K, window=_WIN_W, hash_fn="md5_60")
 
 
 # --------------------------------------------------------------------------
