@@ -38,11 +38,11 @@ spark = get_spark(app="lc-probe", master=master, shuffle_partitions=cores,
                   extra={"spark.sql.files.maxPartitionBytes": str(4*1024*1024)})
 pages = spark.read.parquet(os.environ["PROBE_PARQUET"])
 n = pages.count()
-# warm-up: spin up workers on every executor
-extract_df(pages.limit(cores * 128), num_partitions=cores).write \
+# warm-up: spin up workers on every executor; single-stage production plan
+extract_df(pages.limit(cores * 128), repartition=False).write \
     .format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
-extract_df(pages, num_partitions=cores * 2).write.format("noop") \
+extract_df(pages, repartition=False).write.format("noop") \
     .mode("overwrite").save()
 dt = time.perf_counter() - t0
 print(f"PROBE_RESULT {dt:.3f} {n}")
@@ -67,10 +67,12 @@ def bench_once(execs: int, cores: int, parquet: str) -> tuple[float, int]:
                PROBE_MASTER=master_of(execs, cores),
                PROBE_CORES=str(total_cores),
                PROBE_PARQUET=parquet)
-    with equalize_load(total_cores):
+    with equalize_load(total_cores) as eq:
         out = subprocess.run([sys.executable, "-c", RUN_SNIPPET], env=env,
                              capture_output=True, text=True, timeout=1800,
-                             check=True)
+                             check=True,
+                             preexec_fn=eq.preexec)  # bound ALL executor JVMs
+                                                     # + workers to the budget
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("PROBE_RESULT")][-1]
     _, dt, n = line.split()
     return float(dt), int(n)
