@@ -160,7 +160,7 @@ def _q_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
     root = tempfile.mkdtemp(prefix="webextract_q94_")
     try:
-        run_extraction(spark, pages, root, "driver-run", n_buckets=16, waves=2)
+        run_extraction(spark, pages, root, "driver-run", n_buckets=8, waves=2)
         m = load_metrics(spark, root, "driver-run")
         return (
             m.groupBy("run_id")

