@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .sparkjob import DEFAULT_SALT, extract_df, split_errors
+from .sparkjob import DEFAULT_SALT, EXTRACTED_SCHEMA, extract_df, split_errors
 
 LINEAGE_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType()),
@@ -213,7 +213,10 @@ def run_extraction(
                                min_chars_linked=min_chars_linked)
         _write_by_bucket(extracted, paths.extracted(run_id))
 
-        committed = (spark.read.parquet(paths.extracted(run_id))
+        # explicit schema: skips inference AND keeps an all-empty wave (only
+        # _SUCCESS in the dir) readable instead of raising
+        committed = (spark.read.schema(EXTRACTED_SCHEMA)
+                     .parquet(paths.extracted(run_id))
                      .filter(F.col("partition_id").isin(buckets)))  # dir-pruned
         _, errs = split_errors(committed)
         _write_by_bucket(errs, paths.errors(run_id))
@@ -267,9 +270,10 @@ def load_extracted(spark: SparkSession, root: str, run_id: str,
     row that failed in several attempts appears once per attempt.
     """
     paths = RunPaths(root)
-    df = spark.read.parquet(paths.extracted(run_id))
+    df = spark.read.schema(EXTRACTED_SCHEMA).parquet(paths.extracted(run_id))
     for k in _committed_retry_attempts(root, run_id):
-        df = df.unionByName(spark.read.parquet(paths.retry_extracted(run_id, k)))
+        df = df.unionByName(spark.read.schema(EXTRACTED_SCHEMA)
+                            .parquet(paths.retry_extracted(run_id, k)))
     return df if include_failures else df.filter(F.col("status") == "ok")
 
 
@@ -284,24 +288,25 @@ def load_errors(spark: SparkSession, root: str, run_id: str) -> DataFrame:
     """
     paths = RunPaths(root)
     try:
-        errs = spark.read.parquet(paths.errors(run_id))
-    except Exception:  # noqa: BLE001 — a clean run commits no error dirs
+        errs = spark.read.schema(ERRORS_SCHEMA).parquet(paths.errors(run_id))
+    except Exception:  # noqa: BLE001 — run never committed: no errors root
         errs = spark.createDataFrame([], ERRORS_SCHEMA)
-    # partition discovery puts partition_id last; normalize column order
     errs = errs.select([f.name for f in ERRORS_SCHEMA.fields])
     for k in _committed_retry_attempts(root, run_id):
         # keyed (url, warc_ts): recrawls legitimately repeat a url
-        reprocessed = spark.read.parquet(
-            paths.retry_extracted(run_id, k)).select("url", "warc_ts").distinct()
-        retry_errs = spark.read.parquet(paths.retry_errors(run_id, k)) \
-            .select([f.name for f in ERRORS_SCHEMA.fields])
+        reprocessed = (spark.read.schema(EXTRACTED_SCHEMA)
+                       .parquet(paths.retry_extracted(run_id, k))
+                       .select("url", "warc_ts").distinct())
+        retry_errs = (spark.read.schema(ERRORS_SCHEMA)
+                      .parquet(paths.retry_errors(run_id, k))
+                      .select([f.name for f in ERRORS_SCHEMA.fields]))
         errs = (errs.join(reprocessed, ["url", "warc_ts"], "left_anti")
                     .unionByName(retry_errs))
     return errs
 
 
 def load_metrics(spark: SparkSession, root: str, run_id: str) -> DataFrame:
-    df = spark.read.parquet(RunPaths(root).metrics(run_id))
+    df = spark.read.schema(METRICS_SCHEMA).parquet(RunPaths(root).metrics(run_id))
     return df.filter(F.col("run_id") == run_id) \
              .select([f.name for f in METRICS_SCHEMA.fields])
 
@@ -346,13 +351,15 @@ def reprocess_errors(
                            min_chars_linked=min_chars_linked)
     extracted.write.mode("overwrite").parquet(paths.retry_extracted(run_id, attempt))
 
-    committed = spark.read.parquet(paths.retry_extracted(run_id, attempt))
+    committed = spark.read.schema(EXTRACTED_SCHEMA).parquet(
+        paths.retry_extracted(run_id, attempt))
     _, still_failing = split_errors(committed)
     # the errors dir write is the attempt's commit marker — last
     still_failing.write.mode("overwrite").parquet(paths.retry_errors(run_id, attempt))
 
     n_in = committed.count()
-    n_fail = spark.read.parquet(paths.retry_errors(run_id, attempt)).count()
+    n_fail = spark.read.schema(ERRORS_SCHEMA).parquet(
+        paths.retry_errors(run_id, attempt)).count()
     return {"run_id": run_id, "attempt": attempt,
             "reprocessed": n_in, "recovered": n_in - n_fail,
             "still_failing": n_fail}

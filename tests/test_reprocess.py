@@ -210,3 +210,19 @@ def test_pick_partitions_paths(spark, corpus_dir, pages):
         assert pick_partitions(pages) == 13
     finally:
         spark.conf.unset("spark.webextract.extract.partitions")
+
+
+def test_empty_waves_commit_cleanly(spark, tmp_path):
+    """A wave whose buckets hold zero input rows must still commit (lineage
+    marks the empty buckets done; reads of the run stay valid)."""
+    root = str(tmp_path / "empty")
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string")
+    stats = run_extraction(spark, empty, root, "run1", n_buckets=4, waves=2)
+    assert stats["waves"] == 2 and stats["pending"] == 4
+    assert load_extracted(spark, root, "run1").count() == 0
+    assert load_errors(spark, root, "run1").count() == 0
+    assert load_metrics(spark, root, "run1").count() == 0
+    # rerun is a no-op: all buckets are in lineage
+    stats2 = run_extraction(spark, empty, root, "run1", n_buckets=4, waves=2)
+    assert stats2["pending"] == 0 and stats2["waves"] == 0
