@@ -71,7 +71,9 @@ def cmd_reprocess(args) -> int:
 
     cfg = load_pipeline_config(args.config_dir) if args.config_dir else None
     ext = cfg.extractor if cfg else ExtractorConfig()
-    spark = _spark(args)
+    orch = cfg.orchestrator if cfg else None
+    # same scan-split settings as the run being repaired
+    spark = _spark(args, orch.max_partition_mb if orch else None)
     pages = spark.read.parquet(args.input)
     stats = reprocess_errors(spark, pages, args.output_root, args.run_id,
                              link_density_max=ext.link_density_max,

@@ -674,9 +674,16 @@ def q16(spark, sf_dir):
 # (tests/test_dedup_sim.py).
 # --------------------------------------------------------------------------
 
+from .dedup import MD5_60_SQL as _MD5_60_SQL  # noqa: E402
+
+
 def _md5h_sql(x: str) -> str:
-    """DuckDB twin of dedup._md5_60 (no seed: seed is concat'd by caller)."""
-    return f"(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+    """DuckDB twin of dedup._md5_60 (no seed: seed is concat'd by caller).
+
+    Single source of truth: dedup.MD5_60_SQL — the whole md5_60 oracle
+    contract depends on this string matching dedup._md5_60 exactly.
+    """
+    return _MD5_60_SQL.format(x=x)
 
 
 _MH_PERM, _MH_BANDS, _MH_TAU = 64, 16, 0.7

@@ -80,17 +80,26 @@ class SchemaRegistry:
         ``data`` is the matched type's field struct as JSON (the
         UniversalExtractionResult wrapper); ``error`` is non-null only for
         unroutable rows.
+
+        Two chained projections so the classifier CASE is evaluated ONCE per
+        row and the data/error arms reference the materialized ``doc_type``
+        column (embedding the N-deep classifier into every arm would carry
+        N+2 copies of it through the plan).
         """
         text = F.col(text_col)
-        doc_type = self.classify(text)
+        classified = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                               text.alias("__routing_text"),
+                               self.classify(text).alias("doc_type"))
+        doc_type = F.col("doc_type")
+        rtext = F.col("__routing_text")
         data = F.lit(None).cast("string")
         for s in reversed(self.specs):
-            data = F.when(doc_type == s.doc_type, s.data_col(text)).otherwise(data)
+            data = F.when(doc_type == s.doc_type, s.data_col(rtext)).otherwise(data)
         err = F.when(doc_type == UNKNOWN_TYPE, F.lit(UNKNOWN_ERROR)) \
                .otherwise(F.lit(None).cast("string"))
-        return df.select(F.col(id_col), *[F.col(c) for c in keep],
-                         doc_type.alias("doc_type"), data.alias("data"),
-                         err.alias("error"))
+        return classified.select(F.col(id_col), *[F.col(c) for c in keep],
+                                 doc_type, data.alias("data"),
+                                 err.alias("error"))
 
     def typed(self, routed: DataFrame, doc_type: str) -> DataFrame:
         """get_typed_data analog: one type's rows with the JSON parsed back

@@ -246,14 +246,21 @@ def run_extraction(
 
 
 def _committed_retry_attempts(root: str, run_id: str) -> list[int]:
-    """Retry attempts whose errors dir exists (the attempt's commit marker)."""
+    """Retry attempts whose errors write COMMITTED (the attempt's marker).
+
+    The marker is the _SUCCESS file, not the directory: Spark creates the
+    output dir at job setup, so a crash mid-write leaves the dir (with only
+    _temporary inside) — counting that as committed would anti-join the
+    attempt's input keys out of the DLQ while contributing no error rows,
+    permanently dropping still-failing documents.
+    """
     base = os.path.join(root, "retries", f"run_id={run_id}")
     if not os.path.isdir(base):
         return []
     out = []
     for name in sorted(os.listdir(base)):
-        if name.startswith("attempt=") and \
-                os.path.isdir(os.path.join(base, name, "errors")):
+        if name.startswith("attempt=") and os.path.isfile(
+                os.path.join(base, name, "errors", "_SUCCESS")):
             out.append(int(name.split("=", 1)[1]))
     return out
 
@@ -287,9 +294,12 @@ def load_errors(spark: SparkSession, root: str, run_id: str) -> DataFrame:
     couple of anti-joins, not an iterative plan blowup.
     """
     paths = RunPaths(root)
-    try:
+    # a clean run may have committed no error dirs at all — that's the ONLY
+    # case that maps to an empty DLQ; real read failures (corrupt file,
+    # FS fault) must propagate, not report a falsely-clean run
+    if os.path.isdir(paths.errors(run_id)):
         errs = spark.read.schema(ERRORS_SCHEMA).parquet(paths.errors(run_id))
-    except Exception:  # noqa: BLE001 — run never committed: no errors root
+    else:
         errs = spark.createDataFrame([], ERRORS_SCHEMA)
     errs = errs.select([f.name for f in ERRORS_SCHEMA.fields])
     for k in _committed_retry_attempts(root, run_id):

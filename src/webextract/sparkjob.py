@@ -171,10 +171,14 @@ def pick_partitions(df: DataFrame, target_bytes: int = 96 * 1024 * 1024,
     """
     try:
         conf = df.sparkSession.conf.get("spark.webextract.extract.partitions", None)
-        if conf:
-            return int(conf)
-    except Exception:  # noqa: BLE001 — conf unavailable: keep resolving
-        pass
+    except Exception:  # noqa: BLE001 — conf surface unavailable: keep resolving
+        conf = None
+    if conf is not None and conf != "":
+        n = int(conf)  # an explicit operator override must apply or FAIL loudly
+        if n <= 0:
+            raise ValueError(
+                f"spark.webextract.extract.partitions must be positive, got {conf!r}")
+        return n
     nbytes = 0
     try:
         nbytes = _input_bytes(df)

@@ -226,3 +226,32 @@ def test_empty_waves_commit_cleanly(spark, tmp_path):
     # rerun is a no-op: all buckets are in lineage
     stats2 = run_extraction(spark, empty, root, "run1", n_buckets=4, waves=2)
     assert stats2["pending"] == 0 and stats2["waves"] == 0
+
+
+def test_uncommitted_retry_attempt_is_ignored(spark, pages, tmp_path):
+    """Code-review finding: a crash DURING the retry errors write leaves the
+    dir without _SUCCESS — that attempt must NOT count as committed, or its
+    input keys would be anti-joined out of the DLQ with no replacement rows
+    (silently dropping still-failing docs)."""
+    import os
+
+    from webextract.runner import RunPaths, _committed_retry_attempts
+
+    root = str(tmp_path / "crash")
+    run_extraction(spark, pages, root, "run1", n_buckets=N_BUCKETS)
+    n_dlq = load_errors(spark, root, "run1").count()
+    assert n_dlq > 0
+
+    # simulate the crash window: retry extracted committed, errors dir
+    # created but not committed (no _SUCCESS)
+    paths = RunPaths(root)
+    ok_rows = load_extracted(spark, root, "run1").limit(0)
+    ok_rows.write.mode("overwrite").parquet(paths.retry_extracted("run1", 0))
+    os.makedirs(os.path.join(paths.retry_errors("run1", 0), "_temporary"))
+
+    assert _committed_retry_attempts(root, "run1") == []
+    assert load_errors(spark, root, "run1").count() == n_dlq  # DLQ intact
+    # and the re-run targets the SAME attempt number
+    fixed = pages.withColumn("html", F.lit(GOOD_HTML))
+    stats = reprocess_errors(spark, fixed, root, "run1")
+    assert stats["attempt"] == 0 and stats["recovered"] == n_dlq
