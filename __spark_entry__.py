@@ -205,6 +205,44 @@ def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState): land the corpus in
+    two batches with cross-batch duplicates; first content-fingerprint
+    occurrence wins, state survives the between-batch restart."""
+    import os
+    import shutil
+    import tempfile
+
+    from webextract.corpus import write_corpus_parquet
+    from webextract.streaming import start_dedup_stream
+
+    _ship_package(spark)
+    n = max(60, min(600, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    base = tempfile.mkdtemp(prefix="webextract_q95_")
+    try:
+        land = os.path.join(base, "landing")
+        tmp = os.path.join(base, "gen")
+        write_corpus_parquet(tmp, n, seed=42)
+        pages = spark.read.parquet(os.path.join(tmp, "web_pages.parquet"))
+        half = pages.limit(n // 2)
+        os.makedirs(land)
+        half.write.parquet(os.path.join(land, "b1"))
+        out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+        q = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+        q.awaitTermination(300)
+        # second landing re-delivers batch 1 (all duplicates) + the rest
+        pages.write.parquet(os.path.join(land, "b2"))
+        q2 = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+        q2.awaitTermination(300)
+        res = spark.read.parquet(out)
+        return (
+            res.agg(F.count("*").alias("n_unique"),
+                    F.count_distinct("content_key").alias("n_keys"))
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic fake blobs → probe + features."""
     import hashlib
@@ -237,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q92_media_features"] = _q_media_features
     out["q93_stream_extract"] = _q_stream_extract
     out["q94_resume_metrics"] = _q_resume_metrics
+    out["q95_stream_dedup"] = _q_stream_dedup
     return out
 
 
