@@ -864,6 +864,36 @@ def q26(spark, sf_dir):
     return ivf_topk(e, q, k=20, n_centroids=8, nprobe=3, n_iter=2)
 
 
+@register(
+    "q30_source_profile",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(((SUM(n_chars) * 20000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+                AS DOUBLE) AS avg_chars,
+           RANK() OVER (ORDER BY SUM(n_chars) DESC, source) AS size_rank
+    FROM documents GROUP BY source
+    """,
+    doc="per-source corpus profile: distinct-count + exact-integer rounded "
+        "mean + rank window over grouped aggregates (source-level curation "
+        "view a crawl pipeline reports per provider/dump); the global rank "
+        "window runs over the POST-aggregation rows — |sources|, not |docs| "
+        "— so the single-partition window is bounded at any corpus scale",
+)
+def q30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.expr("(sum(n_chars) * 20000 + count(*)) div (2 * count(*))")
+         / F.lit(10000.0)).cast("double").alias("avg_chars"),
+        F.sum("n_chars").alias("_total"),
+    )
+    w = W.orderBy(F.col("_total").desc(), F.col("source"))
+    return (agg.withColumn("size_rank", F.rank().over(w))
+               .select("source", "n_docs", "n_langs", "avg_chars", "size_rank"))
+
+
 # --------------------------------------------------------------------------
 # BPE-ish token counting + winnowing fingerprints (webextract.analysis)
 # --------------------------------------------------------------------------
