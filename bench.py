@@ -122,11 +122,19 @@ def main() -> None:
         for name, fn in entry.queries().items():
             if wanted and name not in wanted:
                 continue
-            t0 = time.perf_counter()
+            # best-of-2 for the relational/analytic queries (this host's
+            # per-core speed drifts ~2x between minutes); the q9x entries are
+            # full jobs with real filesystem side effects — run those once
+            reps = 1 if name.startswith("q9") else 2
             try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                timings[name] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    df = fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                timings[name] = round(best, 3)
             except Exception as e:  # noqa: BLE001
                 timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
