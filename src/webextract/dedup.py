@@ -31,14 +31,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "url") -> DataFrame:
+                     id_col: str = "url",
+                     hash_fn: str = "xxhash64") -> DataFrame:
     """Canonical id per normalized-text group; is_duplicate flag per row.
 
-    One shuffle on the normalized text hash; at scale, group on
-    ``xxhash64(norm_text)`` instead of the full string to cut shuffle bytes.
+    One shuffle on the normalized text hash: grouping on the 8-byte
+    ``hash(norm_text)`` instead of the full string is what makes the
+    exchange key bounded at 100 TB. ``hash_fn`` picks "xxhash64" (the
+    production path) or "md5_60" (the portable hash DuckDB reproduces —
+    q31's oracle checks this exact plan end-to-end).
     """
+    fn, _ = HASH_FNS[hash_fn]
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    key = F.xxhash64(norm).alias("text_hash")
+    key = fn(norm).alias("text_hash")
     with_key = df.select(F.col(id_col).alias("id"), key)
     canon = with_key.groupBy("text_hash").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("group_size")

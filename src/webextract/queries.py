@@ -381,13 +381,16 @@ def _hits_sql(c: str, word: str) -> str:
     SELECT lang, COUNT(*) AS n_docs,
            CAST(((SUM(n_chars) * 20000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
                 AS DOUBLE) AS avg_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
     doc="corpus profiling aggregate (per-language doc stats); the 4-dp "
         "rounded mean is computed with exact integer half-up arithmetic "
         "((sum*2e4 + n) div (2n)) so partial-aggregation order can't drift "
-        "the last double ulp between engines",
+        "the last double ulp between engines; total_chars is cast BIGINT "
+        "because DuckDB types SUM(INTEGER) as HUGEINT, which pandas converts "
+        "to float64 ('19525.0') while Spark emits a long ('19525') — any "
+        "raw un-cast SUM reaching the output desyncs the driver's value hash",
 )
 def q09(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -509,6 +512,43 @@ def q13(spark, sf_dir):
         "doc_id", cid.alias("canonical_id"),
         (F.col("doc_id") != cid).cast("int").alias("is_duplicate"),
     )
+
+
+from .dedup import MD5_60_SQL as _MD5_60_SQL  # noqa: E402
+
+_NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_Q31_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, {{hash}} AS text_hash FROM documents
+), canon AS (
+  SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM keyed GROUP BY text_hash
+)
+SELECT k.doc_id, c.canonical_id,
+       CAST(k.doc_id != c.canonical_id AS INT) AS is_duplicate,
+       c.group_size
+FROM keyed k JOIN canon c USING (text_hash)
+"""
+
+
+@register(
+    "q31_exact_dedup_hashed",
+    _Q31_SQL.format(hash=_MD5_60_SQL.format(x=_NORM_TEXT_SQL)),
+    doc="exact dedup in the production (100-TB) shape: group on the 60-bit "
+        "hash of the normalized text, NOT the text itself, so every shuffle "
+        "in the plan exchanges an 8-byte key (q13's window-over-full-text "
+        "form is the demonstration twin; this is the plan you'd run at "
+        "scale — plan-asserted in tests/test_dedup_sim.py). Oracle-checked "
+        "end-to-end via the portable md5_60 hash; xxhash64 is the default "
+        "production hash of webextract.dedup.exact_duplicates.",
+)
+def q31(spark, sf_dir):
+    from .dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d, text_col="text", id_col="doc_id",
+                            hash_fn="md5_60")
 
 
 _JACCARD_TAU = 0.5
@@ -934,6 +974,12 @@ def q28(spark, sf_dir):
 
 _WIN_K, _WIN_W = 3, 4
 
+# gram terms generated from _WIN_K (not hardcoded) so changing the k-gram
+# width re-derives the oracle instead of silently desynchronizing it from
+# the parameterized Spark call below
+_WIN_GRAM_SQL = "concat_ws(chr(95), " + ", ".join(
+    f"t[i+{j}]" if j else "t[i]" for j in range(_WIN_K)) + ")"
+
 _Q29_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -944,7 +990,7 @@ WITH toks AS (
 ), hashed AS (
   SELECT doc_id,
          list_transform(range(1, len(t) - {_WIN_K - 2}),
-           i -> {_md5h_sql(f"concat_ws(chr(95), t[i], t[i+1], t[i+2])")}) AS h
+           i -> {_md5h_sql(_WIN_GRAM_SQL)}) AS h
   FROM ok
 ), fps AS (
   SELECT doc_id,

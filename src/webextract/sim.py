@@ -133,6 +133,41 @@ def ivf_cell_col(centroids: list[list[float]], vec_col: str = "embedding"):
     return _assign(F.col(vec_col))
 
 
+def _dot_lit(vec_col: str, vals: list[float]):
+    """Sequential-fold dot product against a literal vector — the same fold
+    as :func:`_dot`, so it is bit-equal to DuckDB ``list_dot_product`` on the
+    same doubles (the q15/q19-proven parity trick)."""
+    arr = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign_expr(centroids: list[list[float]], vec_col: str = "embedding"):
+    """All-JVM IVF cell assignment: ``argmax_i dot(v, c_i)`` via sequential
+    folds + a first-max CASE chain (ties → lowest cell index, matching
+    ``np.argmax``).
+
+    The oracle-checkable twin of :func:`ivf_cell_col`: every float op has an
+    identical DuckDB form, so cell ids are bit-reproducible across engines —
+    no pandas/numpy in the plan at all. Expects **L2-normalized** centroids
+    (argmax of dot equals argmax of cosine only at constant ``|c_i|``);
+    :mod:`webextract.ivf_snapshot` stores them normalized.
+    """
+    d = [_dot_lit(vec_col, c) for c in centroids]
+    chain = None
+    for i in range(len(d) - 1):
+        rest = d[i + 1:]
+        best_rest = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        cond = d[i] >= best_rest
+        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+    if chain is None:  # single centroid
+        return F.lit(0).cast("int")
+    return chain.otherwise(len(d) - 1).cast("int")
+
+
 def kmeans_centroids(df: DataFrame, *, n_centroids: int = 8, n_iter: int = 3,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      seed: int = 7) -> list[list[float]]:

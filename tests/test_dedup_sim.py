@@ -228,3 +228,46 @@ def test_md5_minhash_mode_finds_planted_pairs(spark):
           minhash_lsh_pairs(d, hash_fn="md5_60", **kw).collect()}
     # both modes recover the planted 25 near-dup pairs (allow 1-2 est noise)
     assert len(xx & md) >= 23
+
+
+def test_exact_duplicates_md5_mode_matches_xxhash(docs):
+    """The portable (oracle) hash and the production hash induce the same
+    duplicate groups — same normalization, different fingerprint."""
+    cols = ("url", "canonical_id", "is_duplicate", "group_size")
+    xx = {tuple(getattr(r, c) for c in cols)
+          for r in exact_duplicates(docs, hash_fn="xxhash64").collect()}
+    md = {tuple(getattr(r, c) for c in cols)
+          for r in exact_duplicates(docs, hash_fn="md5_60").collect()}
+    assert xx == md
+
+
+def test_exact_dedup_hashed_plan_exchanges_hash_key(spark):
+    """VERDICT round 2 #4: the production exact-dedup plan (q31) must shuffle
+    on the 8-byte text_hash — the raw text column never appears as an
+    exchange key (q13's window-over-full-text form is the anti-scale twin)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = exact_duplicates(d, text_col="text", id_col="doc_id",
+                           hash_fn="md5_60")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex_lines, "expected at least one hash exchange (groupBy + join)"
+    for ln in ex_lines:
+        assert "text_hash#" in ln, f"exchange not keyed on text_hash: {ln}"
+        assert "text#" not in ln, f"raw text used as a shuffle key: {ln}"
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_minhash_twin_hash_paths_equal_candidates(docs, n):
+    """VERDICT round 2 #7: the md5_60 (oracle-checked) and xxhash64
+    (production) MinHash paths must find the IDENTICAL verified candidate
+    set at tau=0.7 on the planted-duplicate fixture — pinning that the
+    universal-hash permutation family and the per-seed xxhash family are
+    interchangeable estimators, not two subtly different operators."""
+    kw = dict(n=n, num_perm=64, bands=16, verify_tau=0.7)
+    xx = {(r.id_a, r.id_b) for r in
+          minhash_lsh_pairs(docs, hash_fn="xxhash64", **kw).collect()}
+    md = {(r.id_a, r.id_b) for r in
+          minhash_lsh_pairs(docs, hash_fn="md5_60", **kw).collect()}
+    assert xx == md
+    planted = {(f"doc{i:03d}", f"dup{i:03d}") for i in range(5)}
+    assert planted <= xx

@@ -25,6 +25,11 @@ def _canon(v):
     import datetime
     import decimal
 
+    # numpy scalars (from the pandas .df() path) → native python first, so a
+    # numpy.float64 canonicalizes exactly like the float the driver hashes
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ in ("numpy", "numpy.core"):
+        v = item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -43,6 +48,20 @@ def _canon(v):
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
+
+
+def _from_pandas(v):
+    """Undo pandas container types so _canon sees driver-equivalent values
+    (pd.Timestamp → datetime, numpy arrays → lists; numpy scalars are
+    handled in _canon so both result paths share the conversion)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    return v
 
 
 def rows_canon(cols, rows):
@@ -88,9 +107,16 @@ def main():
                 print(f"      WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # canonicalize through pandas (.df()), NOT fetchall(): the driver
+            # converts DuckDB results through pandas, where e.g. a HUGEINT
+            # (any un-cast SUM(INTEGER)) becomes float64 ('19525.0') while
+            # fetchall() yields a python int ('19525'). Round-2's q09 passed
+            # the fetchall() gate locally and failed the driver's hash for
+            # exactly this reason — the gate must see what the driver sees.
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = [tuple(_from_pandas(x) for x in row)
+                     for row in ddf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
