@@ -135,14 +135,69 @@ def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.length("text").alias("text_len"))
 
 
+import tempfile  # noqa: E402
+
+# q91 lands its inputs here so the DuckDB oracle can compute the identical
+# join + metrics + rollup over the SAME parquet files the Spark side reads
+# back (the path must be static: oracle_sql() is a fixed string)
+_Q91_LAND = os.path.join(tempfile.gettempdir(), "webextract_q91_land")
+
+# Oracle twin of evaluate(metrics=[exact_match, len_ratio_ok,
+# span_count_match]) + rollup (webextract/evaluate.py): similarity (difflib,
+# genuinely Python) is excluded via the metrics= selection; the remaining
+# metrics are pure SQL. Values are 0/1 doubles (or NULL for planted-failure
+# rows with no ground truth), so AVG is exact under any aggregation order.
+_Q91_ORACLE_SQL = f"""
+WITH j AS (
+  SELECT e.url, e.text, e.spans, t.expected_text, t.expected_spans
+  FROM read_parquet('{_Q91_LAND}/extracted/*.parquet') e
+  JOIN read_parquet('{_Q91_LAND}/truth/*.parquet') t USING (url)
+), wide AS (
+  SELECT url,
+    CASE WHEN expected_text IS NULL THEN NULL
+         ELSE CAST(text = expected_text AS DOUBLE) END AS exact_match,
+    CASE WHEN expected_text IS NULL THEN NULL
+         WHEN length(expected_text) = 0 THEN CAST(length(text) = 0 AS DOUBLE)
+         ELSE CAST(abs(length(text) - length(expected_text))
+                   <= length(expected_text) * 0.02 AS DOUBLE)
+         END AS len_ratio_ok,
+    CASE WHEN expected_text IS NULL THEN NULL
+         ELSE CAST(len(spans) = coalesce(len(expected_spans), 0) AS DOUBLE)
+         END AS span_count_match
+  FROM j
+), long AS (
+  SELECT 'exact_match' AS metric_name, exact_match AS value FROM wide
+  UNION ALL SELECT 'len_ratio_ok', len_ratio_ok FROM wide
+  UNION ALL SELECT 'span_count_match', span_count_match FROM wide
+)
+SELECT metric_name,
+       CAST(AVG(value) AS DOUBLE) AS mean_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       COUNT(value) AS n_docs
+FROM long GROUP BY metric_name
+"""
+
+
 def _q_extract_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction → evaluation rollup, oracle-checked (judge round-2 #6):
+    the ok rows and the truth table are landed to parquet, read back, and
+    both engines compute the join + per-doc metrics + mean/min/max rollup
+    over those same files. ``similarity`` stays pytest-only (difflib)."""
     from webextract.evaluate import evaluate
     from webextract.sparkjob import extract_df
 
     _ship_package(spark)
     pages, truth = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    extracted = extract_df(pages, num_partitions=16)
-    _long, summary = evaluate(extracted.filter(F.col("status") == "ok"), truth)
+    extracted = extract_df(pages, num_partitions=16).filter(F.col("status") == "ok")
+    (extracted.select("url", "text", "spans", "status")
+     .write.mode("overwrite").parquet(os.path.join(_Q91_LAND, "extracted")))
+    (truth.select("url", "expected_text", "expected_spans")
+     .write.mode("overwrite").parquet(os.path.join(_Q91_LAND, "truth")))
+    ex2 = spark.read.parquet(os.path.join(_Q91_LAND, "extracted"))
+    tr2 = spark.read.parquet(os.path.join(_Q91_LAND, "truth"))
+    _long, summary = evaluate(
+        ex2, tr2, metrics=["exact_match", "len_ratio_ok", "span_count_match"])
     return summary
 
 
@@ -282,4 +337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from webextract import queries as q
 
-    return dict(q.oracle_sql())
+    out = dict(q.oracle_sql())
+    out["q91_extract_eval_rollup"] = _Q91_ORACLE_SQL
+    return out

@@ -889,19 +889,84 @@ def q19(spark, sf_dir):
                       F.round("cosine", 9).cast("double").alias("cosine"))
 
 
+_IVF_NPROBE, _IVF_K = 3, 20
+
+
+def _q26_sql() -> str:
+    """DuckDB twin of the served-index IVF path (q19's literal trick applied
+    to a trained model): the L2-normalized centroids from
+    :mod:`webextract.ivf_snapshot` are embedded as literals in BOTH engines,
+    cell assignment is a first-max CASE over sequential-fold dots (bit-equal
+    to sim.ivf_assign_expr), probe ranking orders cells by dot(centroid,
+    query) with the same tie-break, and the final cosine is the q15-proven
+    list_dot_product form — every float op has an identical twin, so rows,
+    cells, and hashes all agree.
+    """
+    from .ivf_snapshot import IVF_CENTROIDS_SF001 as C
+
+    n = len(C)
+
+    def lits(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dcols = ",\n             ".join(
+        f"list_dot_product(e, {lits(c)}) AS d{i}" for i, c in enumerate(C))
+    case_arms = []
+    for i in range(n - 1):
+        rest = ", ".join(f"d{j}" for j in range(i + 1, n))
+        best = f"greatest({rest})" if i < n - 2 else rest
+        case_arms.append(f"WHEN d{i} >= {best} THEN {i}")
+    cell_case = "CASE " + " ".join(case_arms) + f" ELSE {n - 1} END"
+    probe_cells = "[" + ", ".join(str(i) for i in range(n)) + "]"
+    probe_dots = "[" + ", ".join(f"list_dot_product({lits(c)}, qv)" for c in C) + "]"
+    cos = ("list_dot_product(a.e, q.qv) / (sqrt(list_dot_product(a.e, a.e)) "
+           "* sqrt(list_dot_product(q.qv, q.qv)))")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qv FROM v WHERE vec_id = 0
+    ), d AS (
+      SELECT vec_id, e,
+             {dcols}
+      FROM v
+    ), assigned AS (
+      SELECT vec_id, e, {cell_case} AS cell FROM d
+    ), pr AS (
+      SELECT cell FROM (
+        SELECT unnest({probe_cells}) AS cell, unnest({probe_dots}) AS pd FROM q
+      ) ORDER BY pd DESC, cell LIMIT {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.cell, CAST(ROUND({cos}, 9) AS DOUBLE) AS cosine
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cell FROM pr)
+    ORDER BY {cos} DESC, a.vec_id
+    LIMIT {_IVF_K}
+    """
+
+
 @register(
     "q26_ivf_topk",
-    None,
-    doc="IVF (k-means coarse quantizer) approximate cosine top-k vs exact "
-        "baseline q15; pytest-verified recall "
-        "(test_ivf_topk_matches_exact_on_clusters)",
+    _q26_sql(),
+    doc="IVF (k-means coarse quantizer) approximate cosine top-k on the "
+        "served-index path: centroids trained once (tools/train_ivf.py), "
+        "embedded as literals in both engines, assignment + probing + "
+        "scoring all bit-reproducible (sequential folds) — full oracle. "
+        "The trained path (kmeans_centroids + pandas-UDF assignment) is "
+        "pytest-verified (test_ivf_topk_matches_exact_on_clusters, "
+        "test_ivf_served_fold_matches_pandas_assign).",
 )
 def q26(spark, sf_dir):
+    from .ivf_snapshot import IVF_CENTROIDS_SF001
     from .sim import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_topk(e, q, k=20, n_centroids=8, nprobe=3, n_iter=2)
+    out = ivf_topk(e, q, k=_IVF_K, nprobe=_IVF_NPROBE,
+                   centroids=IVF_CENTROIDS_SF001, assign="fold")
+    return out.select("vec_id", "cell",
+                      F.round("cosine", 9).cast("double").alias("cosine"))
 
 
 @register(

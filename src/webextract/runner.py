@@ -107,23 +107,41 @@ def _manifest_path(root: str, run_id: str) -> str:
     return os.path.join(root, "runs", f"{run_id}.json")
 
 
-def _load_manifest(root: str, run_id: str) -> dict | None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s scheme — local file://, hdfs://,
+    s3a://, … all resolve through the same API, so runner metadata I/O works
+    wherever the output tables live (a driver-local ``os.listdir`` would
+    silently see nothing on a remote store)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _load_manifest(spark: SparkSession, root: str, run_id: str) -> dict | None:
     import json
 
-    p = _manifest_path(root, run_id)
-    if not os.path.exists(p):
+    fs, p = _hadoop_fs(spark, _manifest_path(root, run_id))
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)
 
 
-def _save_manifest(root: str, run_id: str, n_buckets: int, salt: int) -> None:
+def _save_manifest(spark: SparkSession, root: str, run_id: str,
+                   n_buckets: int, salt: int) -> None:
     import json
 
-    p = _manifest_path(root, run_id)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    with open(p, "w") as f:
-        json.dump({"run_id": run_id, "n_buckets": n_buckets, "salt": salt}, f)
+    fs, p = _hadoop_fs(spark, _manifest_path(root, run_id))
+    stream = fs.create(p, True)  # create() makes parent dirs on every scheme
+    try:
+        stream.write(bytearray(json.dumps(
+            {"run_id": run_id, "n_buckets": n_buckets, "salt": salt}).encode()))
+    finally:
+        stream.close()
 
 
 def _write_by_bucket(df: DataFrame, path: str) -> None:
@@ -166,7 +184,7 @@ def run_extraction(
     # resume inherits the stored values; an explicitly conflicting value
     # raises instead of corrupting the run. (Iceberg deployments would keep
     # this in a runs table.)
-    manifest = _load_manifest(root, run_id)
+    manifest = _load_manifest(spark, root, run_id)
     if manifest is not None:
         for name, given in (("n_buckets", n_buckets), ("salt", salt)):
             if given is not None and given != manifest[name]:
@@ -179,7 +197,7 @@ def run_extraction(
     else:
         n_buckets = 64 if n_buckets is None else n_buckets
         salt = DEFAULT_SALT if salt is None else salt
-        _save_manifest(root, run_id, n_buckets, salt)
+        _save_manifest(spark, root, run_id, n_buckets, salt)
 
     paths = RunPaths(root)
     bcol = bucket_col(salt, n_buckets)
@@ -245,7 +263,8 @@ def run_extraction(
     return stats
 
 
-def _committed_retry_attempts(root: str, run_id: str) -> list[int]:
+def _committed_retry_attempts(spark: SparkSession, root: str,
+                              run_id: str) -> list[int]:
     """Retry attempts whose errors write COMMITTED (the attempt's marker).
 
     The marker is the _SUCCESS file, not the directory: Spark creates the
@@ -253,16 +272,24 @@ def _committed_retry_attempts(root: str, run_id: str) -> list[int]:
     _temporary inside) — counting that as committed would anti-join the
     attempt's input keys out of the DLQ while contributing no error rows,
     permanently dropping still-failing documents.
+
+    Listing goes through the Hadoop FileSystem for ``root``'s scheme, so
+    attempt discovery works when the output root is HDFS/S3A, not only a
+    driver-local path.
     """
-    base = os.path.join(root, "retries", f"run_id={run_id}")
-    if not os.path.isdir(base):
+    fs, base = _hadoop_fs(spark, os.path.join(root, "retries", f"run_id={run_id}"))
+    if not fs.exists(base):
         return []
     out = []
-    for name in sorted(os.listdir(base)):
-        if name.startswith("attempt=") and os.path.isfile(
-                os.path.join(base, name, "errors", "_SUCCESS")):
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("attempt=")):
+            continue
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            st.getPath(), "errors/_SUCCESS")
+        if fs.exists(marker) and fs.getFileStatus(marker).isFile():
             out.append(int(name.split("=", 1)[1]))
-    return out
+    return sorted(out)
 
 
 def load_extracted(spark: SparkSession, root: str, run_id: str,
@@ -278,7 +305,7 @@ def load_extracted(spark: SparkSession, root: str, run_id: str,
     """
     paths = RunPaths(root)
     df = spark.read.schema(EXTRACTED_SCHEMA).parquet(paths.extracted(run_id))
-    for k in _committed_retry_attempts(root, run_id):
+    for k in _committed_retry_attempts(spark, root, run_id):
         df = df.unionByName(spark.read.schema(EXTRACTED_SCHEMA)
                             .parquet(paths.retry_extracted(run_id, k)))
     return df if include_failures else df.filter(F.col("status") == "ok")
@@ -297,12 +324,13 @@ def load_errors(spark: SparkSession, root: str, run_id: str) -> DataFrame:
     # a clean run may have committed no error dirs at all — that's the ONLY
     # case that maps to an empty DLQ; real read failures (corrupt file,
     # FS fault) must propagate, not report a falsely-clean run
-    if os.path.isdir(paths.errors(run_id)):
+    fs, errdir = _hadoop_fs(spark, paths.errors(run_id))
+    if fs.exists(errdir) and fs.getFileStatus(errdir).isDirectory():
         errs = spark.read.schema(ERRORS_SCHEMA).parquet(paths.errors(run_id))
     else:
         errs = spark.createDataFrame([], ERRORS_SCHEMA)
     errs = errs.select([f.name for f in ERRORS_SCHEMA.fields])
-    for k in _committed_retry_attempts(root, run_id):
+    for k in _committed_retry_attempts(spark, root, run_id):
         # keyed (url, warc_ts): recrawls legitimately repeat a url
         reprocessed = (spark.read.schema(EXTRACTED_SCHEMA)
                        .parquet(paths.retry_extracted(run_id, k))
@@ -339,11 +367,11 @@ def reprocess_errors(
     idempotent as a wave: attempt number = count of committed attempts, and a
     crash mid-attempt re-runs and overwrites the same attempt.
     """
-    manifest = _load_manifest(root, run_id)
+    manifest = _load_manifest(spark, root, run_id)
     if manifest is None:
         raise ValueError(f"unknown run_id {run_id!r}: no manifest under {root}")
     paths = RunPaths(root)
-    attempt = len(_committed_retry_attempts(root, run_id))
+    attempt = len(_committed_retry_attempts(spark, root, run_id))
 
     dlq_keys = (load_errors(spark, root, run_id)
                 .select("url", "warc_ts").distinct())
@@ -352,7 +380,10 @@ def reprocess_errors(
         return {"run_id": run_id, "attempt": attempt, "reprocessed": 0,
                 "recovered": 0, "still_failing": 0}
     subset = (
-        pages.join(dlq_keys, ["url", "warc_ts"], "left_semi")
+        # the DLQ key set is tiny next to a 100-TB pages side — broadcast it
+        # so the semi-join never shuffles pages (AQE usually rescues this,
+        # but the hint makes the plan deterministic)
+        pages.join(F.broadcast(dlq_keys), ["url", "warc_ts"], "left_semi")
         .withColumn("partition_id",
                     bucket_col(manifest["salt"], manifest["n_buckets"]))
     )

@@ -207,26 +207,46 @@ def kmeans_centroids(df: DataFrame, *, n_centroids: int = 8, n_iter: int = 3,
 def ivf_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
              n_centroids: int = 8, nprobe: int = 2, n_iter: int = 3,
              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             assign: str = "pandas") -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` max-cosine cells only.
 
     At 10^12 scale the cell column is computed once at ingest and the table
     is partitioned by it, so the probe filter below becomes partition
     pruning and a query scans ~``nprobe / n_centroids`` of the corpus.
     Pass precomputed ``centroids`` to skip training (the served-index path).
+
+    ``assign`` picks the cell-assignment implementation:
+
+    - ``"pandas"`` (default) — :func:`ivf_cell_col`, one numpy matmul per
+      Arrow batch; the production path (C×dim ships once per executor).
+    - ``"fold"``  — :func:`ivf_assign_expr`, sequential-fold dots + CASE
+      argmax, all-JVM and bit-reproducible against the DuckDB oracle; probe
+      ranking is computed with the same pure-python fold. Requires
+      L2-normalized ``centroids`` (the :mod:`webextract.ivf_snapshot` form).
     """
     if centroids is None:
         centroids = kmeans_centroids(df, n_centroids=n_centroids, n_iter=n_iter,
                                      vec_col=vec_col, id_col=id_col, seed=seed)
-    cm = np.asarray(centroids, dtype=np.float64)
-    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    q = q / max(float(np.linalg.norm(q)), 1e-12)
-    probes = [int(i) for i in np.argsort(-(cm @ q), kind="stable")[:nprobe]]
+    if assign == "fold":
+        qv = [float(x) for x in query_vec]
+        dots = []
+        for i, c in enumerate(centroids):
+            s = 0.0
+            for x, y in zip(c, qv):  # sequential fold ≡ the engine/oracle fold
+                s += float(x) * y
+            dots.append((s, i))
+        probes = [i for _, i in sorted(dots, key=lambda t: (-t[0], t[1]))[:nprobe]]
+        cell = ivf_assign_expr(centroids, vec_col)
+    else:
+        cm = np.asarray(centroids, dtype=np.float64)
+        cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        probes = [int(i) for i in np.argsort(-(cm @ q), kind="stable")[:nprobe]]
+        cell = ivf_cell_col(centroids, vec_col)
 
-    cand = df.withColumn("cell", ivf_cell_col(centroids, vec_col)).filter(
-        F.col("cell").isin(probes)
-    )
+    cand = df.withColumn("cell", cell).filter(F.col("cell").isin(probes))
     scored = cand.withColumn("qv", _lit_vec(query_vec)).withColumn(
         "cosine", _dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv"))
     )

@@ -100,9 +100,34 @@ DEDUP_OUT_SCHEMA = T.StructType([
 
 _DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
 
+_DURATION_UNITS_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
 
-def dedup_stream(extracted_stream: DataFrame, *,
-                 text_col: str = "text") -> DataFrame:
+
+def _duration_ms(d: str | int) -> int:
+    """'30 days' / '2 seconds' / 1500 → milliseconds (pyspark GroupState
+    setTimeoutDuration only accepts int ms, unlike the Scala API)."""
+    if isinstance(d, int):
+        return d
+    parts = d.strip().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(f"unparseable duration {d!r}: use e.g. '30 days' or ms int")
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _DURATION_UNITS_MS:
+        raise ValueError(f"unknown duration unit {unit!r} in {d!r}")
+    ms = n * _DURATION_UNITS_MS[unit]
+    if ms <= 0:
+        raise ValueError(f"TTL must be positive, got {d!r}")
+    return ms
+
+
+def dedup_stream(extracted_stream: DataFrame, *, text_col: str = "text",
+                 ttl: str | int | None = None) -> DataFrame:
     """Custom stateful operator: streaming exact-dedup across micro-batches
     (``applyInPandasWithState``).
 
@@ -114,15 +139,27 @@ def dedup_stream(extracted_stream: DataFrame, *,
     per key is one long ("seen" count — kept as a count, not a bool, so the
     operator can also report duplicate multiplicity if extended).
 
+    ``ttl`` bounds the state (processing-time timeout: a duration string
+    like ``"30 days"`` or milliseconds). Size it to the recrawl horizon —
+    a key idle for longer than ``ttl`` is EVICTED, so a recrawl arriving
+    after the horizon re-admits the content (by design: at 10^12-doc scale
+    unbounded seen-state is the one thing that kills the operator; a
+    re-admitted stale page is a benign duplicate downstream dedup catches
+    in batch). ``ttl=None`` keeps the exact lifetime semantics for finite
+    backfills. A key's clock resets whenever the key receives data, so hot
+    (frequently recrawled) content never expires while it's still being
+    deduped. At scale run this with the RocksDB state store; state is
+    O(keys seen within the horizon), 8+8 bytes each, hash-partitioned
+    across executors.
+
     Within one batch the survivor is the (warc_ts, url)-minimum for
     determinism; across batches, arrival order wins (that IS the streaming
-    semantic). At 10^12-doc scale run this with the RocksDB state store and
-    a state TTL/timeout policy sized to the recrawl horizon; state is O(keys
-    seen), 8+8 bytes each, hash-partitioned across executors.
+    semantic).
     """
     import pandas as pd  # noqa: F401 — used by the worker-side closure
     from pyspark.sql import functions as F
 
+    ttl_ms = None if ttl is None else _duration_ms(ttl)
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     keyed = extracted_stream.select(
         F.xxhash64(norm).alias("content_key"),
@@ -131,6 +168,11 @@ def dedup_stream(extracted_stream: DataFrame, *,
     def first_only(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle past the recrawl horizon: evict (the two-sided contract —
+            # test_stream_dedup_ttl — pins both eviction and re-admission)
+            state.remove()
+            return
         seen = state.get[0] if state.exists else 0
         batch = [pdf for pdf in pdfs if len(pdf)]
         emit = None
@@ -141,6 +183,8 @@ def dedup_stream(extracted_stream: DataFrame, *,
                 emit = first
             seen += len(allb)
             state.update((int(seen),))
+            if ttl_ms is not None:  # re-arm per key-activity (after update —
+                state.setTimeoutDuration(ttl_ms)  # timeouts need defined state
         if emit is not None:
             yield emit
 
@@ -149,22 +193,36 @@ def dedup_stream(extracted_stream: DataFrame, *,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="NoTimeout" if ttl is None else "ProcessingTimeTimeout",
     )
 
 
 def start_dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, *, available_now: bool = False,
-                       max_files_per_trigger: int | None = None):
+                       max_files_per_trigger: int | None = None,
+                       ttl: str | int | None = None):
     """Source → extract → stateful first-occurrence dedup → parquet sink.
 
     Restarting with the same checkpoint restores the seen-key state, so a
     duplicate arriving in a LATER run is still dropped (exactly-once dedup
-    across the stream's whole lifetime).
+    across the stream's whole lifetime — or across the ``ttl`` recrawl
+    horizon when one is set; see :func:`dedup_stream`).
+
+    ``ttl`` requires a continuous trigger: with ProcessingTimeTimeout, the
+    stateful operator always schedules another (zero-data) micro-batch to
+    sweep expired keys, so an ``available_now`` run would NEVER terminate —
+    the combination is refused instead of hanging. Finite catch-up runs
+    keep ``ttl=None``; the TTL is for the long-running crawl stream, where
+    the continuous trigger's idle batches are exactly what fires evictions.
     """
+    if ttl is not None and available_now:
+        raise ValueError(
+            "ttl with available_now never terminates (ProcessingTimeTimeout "
+            "schedules endless state-cleanup batches); run the TTL'd stream "
+            "with a continuous trigger, or drop ttl for a finite catch-up")
     extracted = extract_stream(
         read_pages_stream(spark, input_dir, max_files_per_trigger))
-    deduped = dedup_stream(extracted.filter("status = 'ok'"))
+    deduped = dedup_stream(extracted.filter("status = 'ok'"), ttl=ttl)
     w = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)

@@ -271,3 +271,21 @@ def test_minhash_twin_hash_paths_equal_candidates(docs, n):
     assert xx == md
     planted = {(f"doc{i:03d}", f"dup{i:03d}") for i in range(5)}
     assert planted <= xx
+
+
+def test_ivf_served_fold_matches_pandas_assign(spark):
+    """The all-JVM fold assignment (q26's oracle-checkable path) and the
+    numpy pandas-UDF assignment (the production path) agree on cells and
+    results for the served snapshot centroids."""
+    from webextract.ivf_snapshot import IVF_CENTROIDS_SF001
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in e.filter("vec_id = 0").first().embedding]
+    kw = dict(k=20, nprobe=3, centroids=IVF_CENTROIDS_SF001)
+    fold = [(r.vec_id, r.cell, round(r.cosine, 9)) for r in
+            ivf_topk(e, q, assign="fold", **kw).collect()]
+    pnd = [(r.vec_id, r.cell, round(r.cosine, 9)) for r in
+           ivf_topk(e, q, assign="pandas", **kw).collect()]
+    assert fold == pnd
+    assert len(fold) == 20
+    assert len({c for _, c, _ in fold}) <= 3  # probed cells only
