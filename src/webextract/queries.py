@@ -999,6 +999,93 @@ def q30(spark, sf_dir):
                .select("source", "n_docs", "n_langs", "avg_chars", "size_rank"))
 
 
+_LSH_PAIR_TAU = 0.30
+_LSH_PAIR_PLANES = 6
+
+
+def _q32_sql() -> str:
+    """DuckDB twin of pairwise_near(block_col=None): hyperplane-LSH bucket
+    blocking (q19's literal-planes trick) + the q15-proven sequential-fold
+    cosine — the sub-quadratic scale path of q16's label-blocked join."""
+    from .sim import _hyperplane
+
+    dim = 64
+    planes = [_hyperplane(p, dim, seed=7) for p in range(_LSH_PAIR_PLANES)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in pl)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)::BIGINT"
+        for p, pl in enumerate(planes))
+    cos = "list_dot_product(a.e, b.e) / (a.nrm * b.nrm)"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), blk AS (
+      SELECT vec_id, e, ({bucket}) AS bucket,
+             sqrt(list_dot_product(e, e)) AS nrm
+      FROM v
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND({cos}, 9) AS DOUBLE) AS cosine
+    FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {_LSH_PAIR_TAU}
+    """
+
+
+@register(
+    "q32_lsh_blocked_near_pairs",
+    _q32_sql(),
+    doc="embedding near-pairs with hyperplane-LSH bucket blocking "
+        "(sim.pairwise_near, block_col=None): candidates only within a "
+        "shared 6-bit sign bucket, never the cross product — the "
+        "sub-quadratic scale path of q16's exact label-blocked join; fully "
+        "oracle-checked via literal planes + sequential-fold cosines",
+)
+def q32(spark, sf_dir):
+    from .sim import pairwise_near
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pairwise_near(e, tau=_LSH_PAIR_TAU, n_planes=_LSH_PAIR_PLANES,
+                        seed=7, dim=64)
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 9).cast("double").alias("cosine"))
+
+
+_SALT_BUCKETS = 16
+
+
+@register(
+    "q33_salted_heavy_hitter_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="two-stage SALTED aggregation (the explicit heavy-hitter/skew "
+        "defense of the north rule): pre-aggregate on (key, salt-of-row-id) "
+        "so one hot key's rows spread over 16 reducers, then re-aggregate "
+        "the 16 partials per key — the second shuffle moves |keys|x16 rows "
+        "regardless of skew. DECIMAL partials make the two-stage sum "
+        "EXACTLY equal to the direct GROUP BY, which is the oracle: the "
+        "query proves salting is result-invariant, not just faster. "
+        "(Production twin: the salted url-hash repartition in "
+        "sparkjob.extract_df / runner.bucket_col.)",
+)
+def q33(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum(F.col("value").cast(_DEC)).alias("pv"),
+        F.count("*").alias("pn"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pv").cast("double").alias("total_value"),
+        F.sum("pn").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE-ish token counting + winnowing fingerprints (webextract.analysis)
 # --------------------------------------------------------------------------

@@ -289,3 +289,14 @@ def test_ivf_served_fold_matches_pandas_assign(spark):
     assert fold == pnd
     assert len(fold) == 20
     assert len({c for _, c, _ in fold}) <= 3  # probed cells only
+
+
+def test_ivf_assign_expr_first_max_tiebreak(spark):
+    """Equal-score cells resolve to the LOWEST index (np.argmax semantics)
+    in the fold path — the CASE chain's arm order is load-bearing for
+    oracle parity."""
+    from webextract.sim import ivf_assign_expr
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]  # 0 and 1 tie exactly
+    assert df.withColumn("cell", ivf_assign_expr(cents)).first().cell == 0
