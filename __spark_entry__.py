@@ -298,21 +298,64 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic fake blobs → probe + features."""
+# q36 lands the synthetic blob table so the DuckDB oracle can re-derive the
+# magic-byte classification over the SAME bytes (the q91 fixed-path trick);
+# the CASE order mirrors multimodal.MAGIC's precedence (dict order wins).
+_Q36_LAND = os.path.join(tempfile.gettempdir(), "webextract_q36_land")
+
+_Q36_ORACLE_SQL = f"""
+SELECT CASE
+         WHEN substr(hex(blob), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+         WHEN substr(hex(blob), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'audio/wav'
+         WHEN substr(hex(blob), 1, 8) = '1A45DFA3' THEN 'video/webm'
+         WHEN substr(hex(blob), 1, 6) = '494433' THEN 'audio/mp3'
+         ELSE 'unknown' END AS media_type,
+       COUNT(*) AS n,
+       CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
+FROM read_parquet('{_Q36_LAND}/blobs/*.parquet')
+GROUP BY 1
+"""
+
+
+def _media_blob_rows(n: int) -> list:
     import hashlib
 
-    from webextract.multimodal import media_features
-
-    _ship_package(spark)
-    n = max(50, min(2000, int(10_000 * _sf_of(sf_dir))))
     rows = []
     for i in range(n):
         h = hashlib.blake2b(f"media{i}".encode(), digest_size=24).digest()
         magic = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF" + h[:4] + b"WAVE",
                  b"\x1aE\xdf\xa3", b""][i % 5]
         rows.append((f"m{i:05d}", magic + h))
-    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    return rows
+
+
+def _q_media_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest profile, oracle-checked: the JVM magic-byte sniff
+    (multimodal.probe_media — zero Python) classified per media type with
+    counts + byte volume, over a landed blob table both engines read."""
+    from webextract.multimodal import probe_media
+
+    _ship_package(spark)
+    n = max(50, min(2000, int(10_000 * _sf_of(sf_dir))))
+    df = spark.createDataFrame(_media_blob_rows(n), "media_id string, blob binary")
+    df.write.mode("overwrite").parquet(os.path.join(_Q36_LAND, "blobs"))
+    landed = spark.read.parquet(os.path.join(_Q36_LAND, "blobs"))
+    return (
+        probe_media(landed)
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.octet_length("blob")).alias("total_bytes"))
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake blobs → probe + features."""
+    from webextract.multimodal import media_features
+
+    _ship_package(spark)
+    n = max(50, min(2000, int(10_000 * _sf_of(sf_dir))))
+    df = spark.createDataFrame(_media_blob_rows(n), "media_id string, blob binary")
     feats = media_features(df)
     return (
         feats.groupBy("media_type", "status")
@@ -331,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q93_stream_extract"] = _q_stream_extract
     out["q94_resume_metrics"] = _q_resume_metrics
     out["q95_stream_dedup"] = _q_stream_dedup
+    out["q36_media_type_profile"] = _q_media_type_profile
     return out
 
 
@@ -339,4 +383,5 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(q.oracle_sql())
     out["q91_extract_eval_rollup"] = _Q91_ORACLE_SQL
+    out["q36_media_type_profile"] = _Q36_ORACLE_SQL
     return out

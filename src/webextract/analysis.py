@@ -197,3 +197,38 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
         toks.select(id_col, F.expr(grams_h).alias("h"))
         .select(id_col, F.explode(F.expr(fps)).alias("fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality FILTER (the decision, not just the signals)
+# ---------------------------------------------------------------------------
+
+
+def quality_filter_columns(text_col: str = "text", *,
+                           min_tokens: int = 5, max_tokens: int = 100_000,
+                           min_mwl: int = 2, max_mwl: int = 12,
+                           stop_ratio_denom: int = 50,
+                           stopwords: list[str] | None = None
+                           ) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, n_nonspace_chars, stopword_hits, keep) — the Gopher-rule
+    document filter a training-data pipeline applies after extraction:
+
+    - token count within [min_tokens, max_tokens];
+    - mean word length (non-space chars / tokens) within [min_mwl, max_mwl];
+    - stopword ratio >= 1/stop_ratio_denom (gibberish/listing guard).
+
+    Every threshold is evaluated with INTEGER cross-multiplication
+    (``min_mwl * n_tokens <= n_nonspace`` etc.), so the keep decision is
+    exact — no float boundary can flip between engines or partial-agg
+    orders. All codegen'd column arithmetic; zero Python.
+    """
+    sw = stopwords or EN_STOPWORDS
+    ntok = token_count(text_col).cast("long")
+    nchar = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long")
+    hits = stopword_hits_any(F.col(text_col), sw)
+    keep = (
+        (ntok >= min_tokens) & (ntok <= max_tokens)
+        & (F.lit(min_mwl) * ntok <= nchar) & (nchar <= F.lit(max_mwl) * ntok)
+        & (hits * stop_ratio_denom >= ntok)
+    )
+    return ntok, nchar, hits, keep.cast("int")

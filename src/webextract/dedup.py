@@ -314,3 +314,43 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-crawl incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(text_col: str):
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def fingerprint_index(df: DataFrame, *, text_col: str = "text",
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Distinct normalized-content fingerprints — the historical index a
+    long-running crawl maintains (append each batch's survivors to it).
+    At scale this table is bucketed by text_hash so incremental anti-joins
+    against it are co-located."""
+    fn, _ = HASH_FNS[hash_fn]
+    return df.select(fn(_norm_text(text_col)).alias("text_hash")).distinct()
+
+
+def dedup_against_index(df: DataFrame, index: DataFrame, *,
+                        text_col: str = "text", id_col: str = "url",
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Cross-crawl incremental dedup: drop rows whose fingerprint already
+    exists in ``index``, then dedup within the batch (min id wins).
+
+    The production shape for "dedupe today's crawl against everything ever
+    kept": both the anti-join and the within-batch group key on the 8-byte
+    hash, so at 100 TB the shuffle carries fingerprints, never text, and a
+    text_hash-bucketed index makes the anti-join shuffle-free on the index
+    side. Returns ``(id, text_hash)`` survivors — the rows to append to the
+    corpus AND to the index.
+    """
+    fn, _ = HASH_FNS[hash_fn]
+    keyed = df.select(F.col(id_col).alias("id"),
+                      fn(_norm_text(text_col)).alias("text_hash"))
+    fresh = keyed.join(index.select("text_hash"), "text_hash", "left_anti")
+    return (fresh.groupBy("text_hash").agg(F.min("id").alias("id"))
+                 .select(F.col("id").alias(id_col), "text_hash"))

@@ -1051,6 +1051,86 @@ def q32(spark, sf_dir):
                       F.round("cosine", 9).cast("double").alias("cosine"))
 
 
+_Q34_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_MD5_60_SQL.format(x=_NORM_TEXT_SQL)} AS text_hash
+  FROM documents
+), prior AS (
+  SELECT DISTINCT text_hash FROM keyed WHERE doc_id % 2 = 0
+), new_batch AS (
+  SELECT doc_id, text_hash FROM keyed WHERE doc_id % 2 = 1
+), fresh AS (
+  -- NOT EXISTS (not NOT IN): rows with a NULL fingerprint must be KEPT,
+  -- matching Spark's left-anti null semantics
+  SELECT * FROM new_batch n
+  WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text_hash = n.text_hash)
+)
+SELECT MIN(doc_id) AS doc_id, text_hash FROM fresh GROUP BY text_hash
+"""
+
+
+@register(
+    "q34_incremental_dedup",
+    _Q34_SQL,
+    doc="cross-crawl incremental dedup (dedup.dedup_against_index): drop new "
+        "docs whose content fingerprint exists in the historical index "
+        "(here: the even-doc_id half plays the prior crawl), then dedup "
+        "within the batch (min id wins). Anti-join + group both key on the "
+        "8-byte hash — the 'dedupe today's crawl against everything ever "
+        "kept' production shape; fully oracle-checked via md5_60.",
+)
+def q34(spark, sf_dir):
+    from .dedup import dedup_against_index, fingerprint_index
+
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = fingerprint_index(prior, hash_fn="md5_60")
+    return dedup_against_index(new, idx, text_col="text", id_col="doc_id",
+                               hash_fn="md5_60")
+
+
+_QF = dict(min_tokens=5, max_tokens=100_000, min_mwl=2, max_mwl=12,
+           stop_ratio_denom=50)
+
+_Q35_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST({_TOK_COUNT_SQL.format(c='text')} AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+           AS n_nonspace,
+         ({' + '.join(_hits_sql('text', w) for w in _EN_STOPS)}) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_nonspace, stop_hits,
+       CAST(n_tokens >= {_QF['min_tokens']} AND n_tokens <= {_QF['max_tokens']}
+            AND {_QF['min_mwl']} * n_tokens <= n_nonspace
+            AND n_nonspace <= {_QF['max_mwl']} * n_tokens
+            AND stop_hits * {_QF['stop_ratio_denom']} >= n_tokens
+            AS INT) AS keep
+FROM sig
+"""
+
+
+@register(
+    "q35_gopher_quality_filter",
+    _Q35_SQL,
+    doc="Gopher/C4-style quality FILTER decision "
+        "(analysis.quality_filter_columns): token-count window + mean-word-"
+        "length window + minimum stopword ratio, every threshold an INTEGER "
+        "cross-multiplication so the keep bit is exact in both engines — "
+        "the post-extraction document gate of a training-data pipeline",
+)
+def q35(spark, sf_dir):
+    from .analysis import quality_filter_columns
+
+    d = _t(spark, sf_dir, "documents")
+    ntok, nchar, hits, keep = quality_filter_columns("text", **_QF)
+    return d.select("doc_id", ntok.alias("n_tokens"), nchar.alias("n_nonspace"),
+                    hits.alias("stop_hits"), keep.alias("keep"))
+
+
 _SALT_BUCKETS = 16
 
 

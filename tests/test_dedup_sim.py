@@ -300,3 +300,35 @@ def test_ivf_assign_expr_first_max_tiebreak(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id int, embedding array<double>")
     cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]  # 0 and 1 tie exactly
     assert df.withColumn("cell", ivf_assign_expr(cents)).first().cell == 0
+
+
+def test_dedup_against_index(docs, spark):
+    """Cross-crawl incremental dedup: fingerprints already in the index are
+    dropped; within-batch dups collapse to the min id; fresh content passes."""
+    from webextract.dedup import dedup_against_index, fingerprint_index
+
+    # index = the original 60 docs; new batch = 5 exact dups of docs 0..4
+    # (must ALL drop), one in-batch duplicated fresh doc, one fresh doc
+    prior = docs.filter(F.col("url").rlike("^doc"))
+    idx = fingerprint_index(prior)
+    new = spark.createDataFrame(
+        [(r.url, r.text) for r in docs.filter(F.col("url").rlike("^dup")).collect()]
+        + [("newA1", "genuinely fresh content one"),
+           ("newA2", "genuinely  fresh content one"),   # ws-normalized dup
+           ("newB", "another fresh document entirely")],
+        "url string, text string")
+    got = {r.url for r in dedup_against_index(new, idx).collect()}
+    assert got == {"newA1", "newB"}  # dups vs index dropped; min-id in-batch
+
+
+def test_dedup_against_index_twin_hash_paths(docs, spark):
+    from webextract.dedup import dedup_against_index, fingerprint_index
+
+    prior = docs.filter(F.col("url").rlike("^doc"))
+    new = docs.filter(~F.col("url").rlike("^doc"))
+    out = {}
+    for hf in ("xxhash64", "md5_60"):
+        idx = fingerprint_index(prior, hash_fn=hf)
+        out[hf] = {r.url for r in
+                   dedup_against_index(new, idx, hash_fn=hf).collect()}
+    assert out["xxhash64"] == out["md5_60"]

@@ -59,3 +59,31 @@ def test_bpeish_token_count(spark):
     got = {r.doc_id: r.n for r in
            df.select("doc_id", bpeish_token_count("text").alias("n")).collect()}
     assert got == {"a": 2, "b": 5, "c": 12, "d": 0}
+
+
+def test_quality_filter_columns_boundaries(spark):
+    """The keep bit flips exactly at the integer-cross-multiplied
+    boundaries (no float thresholds anywhere)."""
+    from pyspark.sql import functions as F
+
+    from webextract.analysis import quality_filter_columns
+
+    rows = [
+        ("short", "the and"),                       # 2 tokens < min 5 → drop
+        ("good", "the cat and the dog sat on in"),  # passes all gates
+        ("longwords", "extraordinarily " * 6 + "the and of to in"),  # mwl > 12? no — mixed; keep depends on arithmetic
+        ("nostops", "zz yy xx ww vv uu tt ss"),     # 0 stopword hits → drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    ntok, nchar, hits, keep = quality_filter_columns("text")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", ntok.alias("t"), nchar.alias("c"), hits.alias("h"),
+        keep.alias("k")).collect()}
+    assert got["short"].k == 0
+    assert got["good"].k == 1
+    assert got["nostops"].k == 0
+    # boundary identity: keep == all integer comparisons re-evaluated in python
+    for r in got.values():
+        expect = int(5 <= r.t <= 100_000 and 2 * r.t <= r.c <= 12 * r.t
+                     and r.h * 50 >= r.t)
+        assert r.k == expect, r

@@ -69,8 +69,42 @@ def main():
         qs["q17_minhash_near_pairs"](spark, sf),
         "Shingle explode → hash-agg signatures → band explode → bucket "
         "self-join: candidate generation never forms a cross product.")
+    add("q31 exact dedup, production shape (hash-keyed)",
+        qs["q31_exact_dedup_hashed"](spark, sf),
+        "Every Exchange is keyed on the 8-byte text_hash — the full text "
+        "never shuffles (q13's window-over-text form is the anti-scale "
+        "demonstration twin).")
+    add("q26 IVF top-k, served index (fold assignment)",
+        qs["q26_ivf_topk"](spark, sf),
+        "All-JVM: centroid dots + CASE argmax inside WholeStageCodegen, "
+        "probe filter on the cell column (partition pruning at scale), "
+        "TakeOrderedAndProject — zero Python, zero Exchange before top-k.")
+    add("q33 salted heavy-hitter aggregation",
+        qs["q33_salted_heavy_hitter_agg"](spark, sf),
+        "Two HashAggregate pairs: the (key, salt) partial spreads a hot key "
+        "over 16 reducers; the second exchange moves |keys|x16 rows "
+        "regardless of skew.")
+    add("q34 incremental dedup vs fingerprint index",
+        qs["q34_incremental_dedup"](spark, sf),
+        "Anti-join and min-id group both keyed on the 8-byte fingerprint; "
+        "one scan feeds both sides (even/odd split).")
 
-    out = ["# PLANS — physical plan review (round 1)",
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webextract.runner import bucket_col, load_errors, run_extraction
+
+    root = tempfile.mkdtemp(prefix="plans_reproc_")
+    run_extraction(spark, pages, root, "plans-run", n_buckets=8)
+    dlq = load_errors(spark, root, "plans-run").select("url", "warc_ts").distinct()
+    add("DLQ reprocess semi-join (broadcast key set)",
+        pages.join(F.broadcast(dlq), ["url", "warc_ts"], "left_semi")
+             .withColumn("partition_id", bucket_col(0, 8)),
+        "BroadcastHashJoin LeftSemi BuildRight: the 100-TB pages side never "
+        "shuffles for the (tiny) DLQ key set.")
+
+    out = ["# PLANS — physical plan review (round 3)",
            "",
            "Captured via `python tools/explain_plans.py` (sf0.01, local[8]).",
            "Each plan carries the property it is asserted to have; the "
