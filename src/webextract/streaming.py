@@ -197,10 +197,25 @@ def dedup_stream(extracted_stream: DataFrame, *, text_col: str = "text",
     )
 
 
+#: session conf → the RocksDB state store (spills seen-key state to local
+#: disk instead of executor heap — the 10^12-key deployment setting; ships
+#: with Spark 4, no extra jar)
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                    "state.RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch stateful streaming to RocksDB-backed state (set BEFORE a query
+    starts; checkpointed queries pin their provider at first start)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+
+
 def start_dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, *, available_now: bool = False,
                        max_files_per_trigger: int | None = None,
-                       ttl: str | int | None = None):
+                       ttl: str | int | None = None,
+                       trigger_interval: str | None = None):
     """Source → extract → stateful first-occurrence dedup → parquet sink.
 
     Restarting with the same checkpoint restores the seen-key state, so a
@@ -214,6 +229,10 @@ def start_dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
     the combination is refused instead of hanging. Finite catch-up runs
     keep ``ttl=None``; the TTL is for the long-running crawl stream, where
     the continuous trigger's idle batches are exactly what fires evictions.
+    Pair a TTL with ``trigger_interval`` (e.g. ``"30 seconds"``) in
+    production so those cleanup batches tick at a bounded rate instead of
+    hot-looping, and with :func:`use_rocksdb_state_store` so seen-key state
+    lives on executor local disk rather than heap.
     """
     if ttl is not None and available_now:
         raise ValueError(
@@ -231,6 +250,8 @@ def start_dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
     )
     if available_now:
         w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
     return w.start()
 
 

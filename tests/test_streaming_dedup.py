@@ -90,7 +90,10 @@ def test_stream_dedup_ttl_live_key_still_dedups(spark, tmp_path):
     ts = datetime(2026, 1, 1)
 
     _write_batch(spark, land, "b1", [("u1", ts, HTML_A, "", "en")])
-    q = start_dedup_stream(spark, land, out, ckpt, ttl="10 minutes")
+    # trigger_interval paces the cleanup batches (production setting for a
+    # TTL'd stream) — the operator semantics are unchanged
+    q = start_dedup_stream(spark, land, out, ckpt, ttl="10 minutes",
+                           trigger_interval="1 second")
     try:
         _wait_input_rows(q, 1)
         _write_batch(spark, land, "b2", [("u2", ts, HTML_A2, "", "en")])
@@ -141,3 +144,37 @@ def test_stream_dedup_ttl_with_available_now_is_refused(spark, tmp_path):
         start_dedup_stream(spark, str(tmp_path / "l"), str(tmp_path / "o"),
                            str(tmp_path / "c"), available_now=True,
                            ttl="1 hour")
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The dedup operator runs unchanged on the RocksDB state store (the
+    10^12-key deployment setting: state on executor local disk, not heap) —
+    same first-wins semantics, restart-safe via the checkpoint."""
+    from datetime import datetime
+
+    from webextract.streaming import ROCKSDB_PROVIDER, use_rocksdb_state_store
+
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime(2026, 1, 1)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state_store(spark)
+    try:
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        _write_batch(spark, land, "b1", [("u1", ts, HTML_A, "", "en"),
+                                         ("u2", ts, HTML_B, "", "en")])
+        q = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+        q.awaitTermination(300)
+        _write_batch(spark, land, "b2", [("u3", ts, HTML_A2, "", "en")])
+        q2 = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+        q2.awaitTermination(300)
+        got = spark.read.parquet(out)
+        # recrawl of A dropped against RocksDB-restored state
+        assert {r.url for r in got.collect()} == {"u1", "u2"}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
