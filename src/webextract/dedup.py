@@ -65,20 +65,30 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "url",
-             n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle).
+
+    ``distinct=True`` (set semantics) costs a full shuffle OF THE SHINGLE
+    STRINGS — required where duplicates change the result (Jaccard
+    intersection counts, SimHash bit sums). Pass ``distinct=False`` for
+    consumers whose aggregate is duplicate-insensitive (MinHash: a repeated
+    shingle cannot change a MIN), which turns the whole pipeline into
+    explode → map-side-combined aggregation with no exchange before the
+    per-doc groupBy.
+    """
     toks = (
         df.filter(F.length(F.trim(text_col)) > 0)
         .select(F.col(id_col).alias("id"), F.split(F.trim(text_col), r"\s+").alias("t"))
         .filter(F.size("t") >= n)
     )
     parts = ", ".join(f"t[i + {k}]" for k in range(n))
-    return toks.select(
+    out = toks.select(
         "id",
         F.explode(
             F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws('_', {parts}))")
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "url",
@@ -177,9 +187,15 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     md5_60 mode hashes each shingle ONCE and derives the permutations with
     the (a*x+b) mod p family above, so the portable mode costs ~one md5 per
     shingle instead of num_perm of them.
+
+    The shingle stream is NOT deduplicated: a repeated shingle cannot change
+    any of the MINs, so the signature over the multiset equals the signature
+    over the set — and skipping the distinct removes the only exchange that
+    carries shingle STRINGS (the plan becomes explode → map-side-combined
+    min-aggregation; the per-doc groupBy shuffles 65 longs per doc).
     """
     fn, _ = HASH_FNS[hash_fn]
-    g = shingles(df, text_col, id_col, n)
+    g = shingles(df, text_col, id_col, n, distinct=False)
     if hash_fn == "md5_60":
         base = (fn(F.col("shingle")) % F.lit(_BASE_MOD)).alias("b")
         consts = minhash_perm_consts(num_perm)

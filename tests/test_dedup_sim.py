@@ -332,3 +332,20 @@ def test_dedup_against_index_twin_hash_paths(docs, spark):
         out[hf] = {r.url for r in
                    dedup_against_index(new, idx, hash_fn=hf).collect()}
     assert out["xxhash64"] == out["md5_60"]
+
+
+def test_minhash_signatures_have_single_id_exchange(spark):
+    """MinHash is duplicate-insensitive (a repeated shingle can't change a
+    MIN), so the signature plan must NOT pay the shingle-string distinct:
+    exactly one exchange, keyed on the 8-byte doc id, with the min-agg
+    map-side combined before it."""
+    from webextract.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = minhash_signatures(d, text_col="text", id_col="doc_id", n=2,
+                             hash_fn="md5_60")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 1, ex
+    assert "hashpartitioning(id#" in ex[0], ex[0]
+    assert "shingle" not in ex[0], ex[0]
