@@ -201,101 +201,135 @@ def _q_extract_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
-def _q_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resumable runner end-to-end: run → metrics table (FIXTURES.md §4).
+# q94/q93/q95 run their jobs into FIXED roots (wiped per call) so DuckDB can
+# independently re-derive each summary from the committed files: the
+# extraction/streaming computation itself is pytest-gated (byte identity),
+# but the metrics DERIVATION, the sink's exactly-once commit, and the dedup
+# invariant are all SQL-checkable over the landed parquet.
+_Q94_ROOT = os.path.join(tempfile.gettempdir(), "webextract_q94_run")
 
-    Invariant surfaced to the driver: sum(docs_processed) == corpus rows.
-    """
+# independent derivation: the Spark side aggregates the runner's METRICS
+# table; the oracle recomputes the same numbers from the raw committed
+# extracted rows — they agree iff the per-bucket metric derivation
+# (runner.run_extraction) is correct
+_Q94_ORACLE_SQL = f"""
+SELECT 'driver-run' AS run_id,
+       COUNT(*) AS docs_processed,
+       CAST(SUM(CASE WHEN status = 'ok' THEN octet_length(text) ELSE 0 END)
+            AS BIGINT) AS bytes_extracted,
+       CAST(SUM(CASE WHEN status != 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+         AS parse_failures,
+       COUNT(DISTINCT partition_id) AS n_partitions
+FROM read_parquet('{_Q94_ROOT}/extracted/run_id=driver-run/*/*.parquet',
+                  hive_partitioning = true)
+"""
+
+
+def _q_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable runner end-to-end: run → metrics table (FIXTURES.md §4),
+    oracle-checked: DuckDB re-derives the summary from the committed
+    extracted rows while Spark aggregates the runner's metrics table."""
     import shutil
-    import tempfile
 
     from webextract.runner import load_metrics, run_extraction
 
     _ship_package(spark)
     pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    root = tempfile.mkdtemp(prefix="webextract_q94_")
-    try:
-        run_extraction(spark, pages, root, "driver-run", n_buckets=8, waves=2)
-        m = load_metrics(spark, root, "driver-run")
-        return (
-            m.groupBy("run_id")
-            .agg(F.sum("docs_processed").alias("docs_processed"),
-                 F.sum("bytes_extracted").alias("bytes_extracted"),
-                 F.sum("parse_failures").alias("parse_failures"),
-                 F.count("*").alias("n_partitions"))
-        ).localCheckpoint()  # materialize before the temp dir is removed
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(_Q94_ROOT, ignore_errors=True)
+    run_extraction(spark, pages, _Q94_ROOT, "driver-run", n_buckets=8, waves=2)
+    m = load_metrics(spark, _Q94_ROOT, "driver-run")
+    return (
+        m.groupBy("run_id")
+        .agg(F.sum("docs_processed").alias("docs_processed"),
+             F.sum("bytes_extracted").alias("bytes_extracted"),
+             F.sum("parse_failures").alias("parse_failures"),
+             F.count("*").alias("n_partitions"))
+    )
+
+
+_Q93_BASE = os.path.join(tempfile.gettempdir(), "webextract_q93_run")
+
+# the oracle re-aggregates the streaming sink's committed files — checking
+# that exactly-once commit + the groupBy agree with an independent engine
+_Q93_ORACLE_SQL = f"""
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(text)) AS BIGINT) AS bytes_extracted
+FROM read_parquet('{_Q93_BASE}/out/*.parquet')
+GROUP BY status
+"""
 
 
 def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin: land corpus → availableNow stream → extracted counts."""
-    import os
+    """Streaming twin: land corpus → availableNow stream → extracted counts,
+    oracle-checked over the sink's committed parquet."""
     import shutil
-    import tempfile
 
     from webextract.streaming import start_extraction_stream
 
     _ship_package(spark)
     n = max(60, min(600, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    base = tempfile.mkdtemp(prefix="webextract_q93_")
-    try:
-        from webextract.corpus import write_corpus_parquet
+    shutil.rmtree(_Q93_BASE, ignore_errors=True)
+    from webextract.corpus import write_corpus_parquet
 
-        land = os.path.join(base, "landing")
-        os.makedirs(land)
-        write_corpus_parquet(land, n, seed=42)
-        os.remove(os.path.join(land, "truth.parquet"))
-        q = start_extraction_stream(spark, land, os.path.join(base, "out"),
-                                    os.path.join(base, "ckpt"), available_now=True)
-        q.awaitTermination(300)
-        out = spark.read.parquet(os.path.join(base, "out"))
-        return (
-            out.groupBy("status")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.octet_length("text")).alias("bytes_extracted"))
-            .orderBy("status")
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(_Q93_BASE, "landing")
+    os.makedirs(land)
+    write_corpus_parquet(land, n, seed=42)
+    os.remove(os.path.join(land, "truth.parquet"))
+    q = start_extraction_stream(spark, land, os.path.join(_Q93_BASE, "out"),
+                                os.path.join(_Q93_BASE, "ckpt"),
+                                available_now=True)
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(_Q93_BASE, "out"))
+    return (
+        out.groupBy("status")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.octet_length("text")).alias("bytes_extracted"))
+    )
+
+
+_Q95_BASE = os.path.join(tempfile.gettempdir(), "webextract_q95_run")
+
+# the oracle recomputes the dedup INVARIANT from the sink's committed files:
+# rows == distinct fingerprints (no content emitted twice, across batches
+# AND across the mid-stream restart)
+_Q95_ORACLE_SQL = f"""
+SELECT COUNT(*) AS n_unique,
+       COUNT(DISTINCT content_key) AS n_keys
+FROM read_parquet('{_Q95_BASE}/out/*.parquet')
+"""
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState): land the corpus in
     two batches with cross-batch duplicates; first content-fingerprint
-    occurrence wins, state survives the between-batch restart."""
-    import os
+    occurrence wins, state survives the between-batch restart. The dedup
+    invariant (rows == distinct fingerprints) is oracle-checked over the
+    sink's committed parquet."""
     import shutil
-    import tempfile
 
     from webextract.corpus import write_corpus_parquet
     from webextract.streaming import start_dedup_stream
 
     _ship_package(spark)
     n = max(60, min(600, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    base = tempfile.mkdtemp(prefix="webextract_q95_")
-    try:
-        land = os.path.join(base, "landing")
-        tmp = os.path.join(base, "gen")
-        write_corpus_parquet(tmp, n, seed=42)
-        pages = spark.read.parquet(os.path.join(tmp, "web_pages.parquet"))
-        half = pages.limit(n // 2)
-        os.makedirs(land)
-        half.write.parquet(os.path.join(land, "b1"))
-        out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-        q = start_dedup_stream(spark, land, out, ckpt, available_now=True)
-        q.awaitTermination(300)
-        # second landing re-delivers batch 1 (all duplicates) + the rest
-        pages.write.parquet(os.path.join(land, "b2"))
-        q2 = start_dedup_stream(spark, land, out, ckpt, available_now=True)
-        q2.awaitTermination(300)
-        res = spark.read.parquet(out)
-        return (
-            res.agg(F.count("*").alias("n_unique"),
-                    F.count_distinct("content_key").alias("n_keys"))
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(_Q95_BASE, ignore_errors=True)
+    land = os.path.join(_Q95_BASE, "landing")
+    tmp = os.path.join(_Q95_BASE, "gen")
+    write_corpus_parquet(tmp, n, seed=42)
+    pages = spark.read.parquet(os.path.join(tmp, "web_pages.parquet"))
+    half = pages.limit(n // 2)
+    os.makedirs(land, exist_ok=True)
+    half.write.parquet(os.path.join(land, "b1"))
+    out, ckpt = os.path.join(_Q95_BASE, "out"), os.path.join(_Q95_BASE, "ckpt")
+    q = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    # second landing re-delivers batch 1 (all duplicates) + the rest
+    pages.write.parquet(os.path.join(land, "b2"))
+    q2 = start_dedup_stream(spark, land, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    res = spark.read.parquet(out)
+    return res.agg(F.count("*").alias("n_unique"),
+                   F.count_distinct("content_key").alias("n_keys"))
 
 
 # q36 lands the synthetic blob table so the DuckDB oracle can re-derive the
@@ -384,4 +418,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(q.oracle_sql())
     out["q91_extract_eval_rollup"] = _Q91_ORACLE_SQL
     out["q36_media_type_profile"] = _Q36_ORACLE_SQL
+    out["q93_stream_extract"] = _Q93_ORACLE_SQL
+    out["q94_resume_metrics"] = _Q94_ORACLE_SQL
+    out["q95_stream_dedup"] = _Q95_ORACLE_SQL
     return out
