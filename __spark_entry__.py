@@ -215,7 +215,7 @@ _Q94_ROOT = os.path.join(tempfile.gettempdir(), "webextract_q94_run")
 _Q94_ORACLE_SQL = f"""
 SELECT 'driver-run' AS run_id,
        COUNT(*) AS docs_processed,
-       CAST(SUM(CASE WHEN status = 'ok' THEN octet_length(text) ELSE 0 END)
+       CAST(SUM(CASE WHEN status = 'ok' THEN strlen(text) ELSE 0 END)
             AS BIGINT) AS bytes_extracted,
        CAST(SUM(CASE WHEN status != 'ok' THEN 1 ELSE 0 END) AS BIGINT)
          AS parse_failures,
@@ -253,7 +253,7 @@ _Q93_BASE = os.path.join(tempfile.gettempdir(), "webextract_q93_run")
 # that exactly-once commit + the groupBy agree with an independent engine
 _Q93_ORACLE_SQL = f"""
 SELECT status, COUNT(*) AS n_docs,
-       CAST(SUM(octet_length(text)) AS BIGINT) AS bytes_extracted
+       CAST(SUM(strlen(text)) AS BIGINT) AS bytes_extracted
 FROM read_parquet('{_Q93_BASE}/out/*.parquet')
 GROUP BY status
 """

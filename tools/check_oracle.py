@@ -72,7 +72,8 @@ def rows_canon(cols, rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", action="append", default=None,
+                    help="substring filter; repeatable (any match runs)")
     args = ap.parse_args()
 
     import duckdb
@@ -91,7 +92,7 @@ def main():
     oracles = entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if args.only and args.only not in name:
+        if args.only and not any(o in name for o in args.only):
             continue
         try:
             sdf = fn(spark, args.sf)
