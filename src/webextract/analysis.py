@@ -232,3 +232,146 @@ def quality_filter_columns(text_col: str = "text", *,
         & (hits * stop_ratio_denom >= ntok)
     )
     return ntok, nchar, hits, keep.cast("int")
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition signals (Gopher repetition-removal family)
+# ---------------------------------------------------------------------------
+
+
+def repetition_columns(tok_col: str = "t", *, ns: tuple[int, ...] = (2, 3),
+                       keep_n: int = 3, keep_num: int = 3, keep_den: int = 10,
+                       ) -> tuple[list[Column], Column]:
+    """Duplicate n-gram fractions WITHIN each document + the keep decision —
+    the Gopher repetition-removal signals (boilerplate loops, SEO keyword
+    stuffing, templated spam repeat the same n-grams inside one page).
+
+    Operates on a token-array column named ``tok_col`` (build it once with
+    ``split(trim(text), '\\s+')``; :func:`repetition_df` does). For each n
+    in ``ns``: dup_frac_n = (#grams − #distinct grams) / #grams over the
+    doc's token n-grams; docs with fewer than n tokens score 0. ``keep`` =
+    dup_frac_{keep_n} ≤ keep_num/keep_den, decided by INTEGER
+    cross-multiplication so the bit is exact in any engine.
+
+    Scale shape: everything is nested array expressions inside one
+    projection — per-row, zero shuffles, zero Python; the signals compute
+    in the same scan that reads the text.
+    """
+    t = tok_col
+    cols: list[Column] = [F.size(F.col(t)).cast("long").alias("n_tokens")]
+    keep: Column | None = None
+    for n in ns:
+        parts = ", ".join(f"{t}[i + {j}]" for j in range(n))
+        grams = (f"transform(sequence(0, size({t}) - {n}), "
+                 f"i -> concat_ws(chr(95), {parts}))")
+        g = F.expr(f"CASE WHEN size({t}) >= {n} THEN {grams} "
+                   f"ELSE CAST(array() AS array<string>) END")
+        total = F.size(g)
+        n_dup = total - F.size(F.array_distinct(g))
+        frac = F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round(n_dup.cast("double") / total.cast("double"), 6))
+        cols.append(n_dup.cast("long").alias(f"dup_{n}gram"))
+        cols.append(frac.cast("double").alias(f"dup_{n}gram_frac"))
+        if n == keep_n:
+            keep = ((total <= 0)
+                    | (n_dup * F.lit(keep_den) <= total * F.lit(keep_num)))
+    if keep is None:
+        raise ValueError(f"keep_n={keep_n} not in ns={ns}")
+    return cols, keep.cast("int")
+
+
+def repetition_df(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", **kw) -> DataFrame:
+    """Per-doc repetition signals + keep flag over ``df``.
+
+    The token array is materialized under the alias ``t`` in a first
+    projection; the signal columns reference it. Catalyst collapses both
+    projections into one codegen stage (CollapseProject).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+    cols, keep = repetition_columns("t", **kw)
+    return (df.select(F.col(id_col), toks.alias("t"))
+              .select(id_col, *cols, keep.alias("keep_repetition")))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building: top-k terms per corpus slice
+# ---------------------------------------------------------------------------
+
+
+def top_terms(df: DataFrame, *, text_col: str = "text",
+              group_col: str = "source", k: int = 5,
+              lowercase: bool = True) -> DataFrame:
+    """Top-k most frequent whitespace terms per group (ties broken by term,
+    so the cut is total-ordered and reproducible) — vocabulary building /
+    corpus-slice profiling for tokenizer training and drift monitoring.
+
+    Scale shape: the explode is immediately collapsed by a hash aggregate
+    with map-side partial combine (the shuffle carries (group, term, n)
+    partials, never raw token streams), and the row_number window runs over
+    DISTINCT (group, term) pairs — vocabulary-sized, not corpus-sized. A
+    single pathological group is rescued by AQE skew split; k cuts the
+    output before any driver involvement.
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    term = F.explode(F.split(F.lower(t) if lowercase else t, r"\s+"))
+    toks = (df.filter(F.length(t) > 0)
+              .select(F.col(group_col), term.alias("term"))
+              .filter(F.length("term") > 0))
+    counts = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: deliberately regex-engine-portable (no \w, \b, lookaround, or unicode
+#: classes) so Java regex (Spark) and RE2 (DuckDB) match identically
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_PATTERN = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+]
+
+
+def pii_redact_columns(text_col: str = "text",
+                       rules: list[tuple[str, str, str]] | None = None,
+                       ) -> tuple[list[Column], Column]:
+    """(per-rule match-count columns, fully-redacted text column) — the
+    pre-training PII scrub (emails, phone numbers; extend ``rules`` with
+    SSNs, IPs, keys as needed).
+
+    Counts are taken BEFORE redaction; redaction applies rules in order on
+    the running result. Everything is built-in regexp expressions — per-row,
+    JVM-side, zero shuffles; the scrub runs inside the same scan/projection
+    as the rest of the cleaning pipeline. Patterns avoid every construct
+    where regex dialects diverge, so an independent engine reproduces the
+    scrub byte-for-byte (q41's DuckDB oracle does).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    rules = PII_RULES if rules is None else rules
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+         .cast("long").alias(f"n_{name}")
+        for name, pat, _ in rules
+    ]
+    red = c
+    for _, pat, repl in rules:
+        red = F.regexp_replace(red, pat, repl)
+    return counts, red
+
+
+def pii_redact_df(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  rules: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    counts, red = pii_redact_columns(text_col, rules)
+    return df.select(F.col(id_col), *counts, red.alias("text_redacted"))

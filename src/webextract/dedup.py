@@ -370,3 +370,58 @@ def dedup_against_index(df: DataFrame, index: DataFrame, *,
     fresh = keyed.join(index.select("text_hash"), "text_hash", "left_anti")
     return (fresh.groupBy("text_hash").agg(F.min("id").alias("id"))
                  .select(F.col("id").alias(id_col), "text_hash"))
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, *, src: str = "id_a",
+                         dst: str = "id_b", vertices: DataFrame | None = None,
+                         id_col: str = "id",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster id per vertex = min vertex id reachable in the pair graph
+    (Hash-Min label propagation) — the step that turns near-dup PAIRS into
+    dedup GROUPS so one canonical document survives per cluster, even when
+    similarity is non-transitive (a~b, b~c, a!~c still collapses to one
+    cluster; reference parity: document-level dedup semantics of
+    document_extraction_tools' exporter, extended to near-dup groups).
+
+    Algorithm: every vertex starts labeled with itself; each round every
+    vertex takes the min of its own label and its neighbors' labels; stop
+    when a round changes nothing. Rounds = graph diameter. Each round is ONE
+    shuffle keyed on the (8-byte) vertex id, moving |E| label messages —
+    never text, never signatures. LSH near-dup components are quasi-cliques
+    (diameter 2-3), so this converges in 2-3 rounds at any corpus size; for
+    adversarial long-chain graphs swap in large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+    contracts in O(log^2 n) rounds with the same per-round shuffle shape.
+    The driver holds only the convergence counter; labels stay distributed
+    (localCheckpoint per round cuts lineage — on a cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``).
+
+    Returns ``(id, cluster_id)`` for every vertex (singletons map to
+    themselves when ``vertices`` is given; otherwise only endpoints).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    if vertices is None:
+        vertices = sym.select(F.col("a").alias(id_col)).distinct()
+    labels = vertices.select(F.col(id_col).cast("long").alias("id"),
+                             F.col(id_col).cast("long").alias("label"))
+    sym = sym.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+    for _ in range(max_iter):
+        msgs = (sym.join(labels.withColumnRenamed("id", "a"), "a")
+                   .select(F.col("b").alias("id"), "label"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "id")
+                   .filter(F.col("label") < F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

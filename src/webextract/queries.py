@@ -733,8 +733,9 @@ from .dedup import MINHASH_P as _MH_P, minhash_perm_consts as _mh_consts  # noqa
 
 _MH_AB = _mh_consts(_MH_PERM)
 
-_Q17_SQL = f"""
-WITH toks AS (
+# CTE body + final select kept separate so q37 can reuse the whole pair
+# pipeline as the edge source of its recursive-CTE oracle
+_Q17_CTES = f"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
   FROM documents WHERE length(trim(text)) > 0
 ), grams AS (
@@ -764,9 +765,11 @@ WITH toks AS (
                            for i in range(_MH_PERM))}) AS DOUBLE) / {_MH_PERM}
            AS est_jaccard
   FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
-)
-SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {_MH_TAU}
-"""
+)"""
+
+_Q17_FINAL = f"SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {_MH_TAU}"
+
+_Q17_SQL = f"WITH {_Q17_CTES}\n{_Q17_FINAL}"
 
 
 @register(
@@ -783,6 +786,244 @@ def q17(spark, sf_dir):
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id", n=2,
                              num_perm=_MH_PERM, bands=_MH_BANDS,
                              verify_tau=_MH_TAU, hash_fn="md5_60")
+
+
+_Q37_SQL = f"""
+WITH RECURSIVE {_Q17_CTES},
+pairs AS ({_Q17_FINAL}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+),
+assign AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT a.doc_id, a.cluster_id, c.cluster_size
+FROM assign a
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM assign GROUP BY cluster_id) c USING (cluster_id)
+"""
+
+
+@register(
+    "q37_dedup_clusters",
+    _Q37_SQL,
+    doc="near-dup CLUSTER ASSIGNMENT: connected components (Hash-Min label "
+        "propagation, dedup.connected_components) over the q17 MinHash-LSH "
+        "pair graph — the step that turns pairwise candidates into dedup "
+        "groups so one canonical doc survives per cluster even when "
+        "similarity is non-transitive. Each round is one shuffle keyed on "
+        "the 8-byte vertex id; LSH components are quasi-cliques so 2-3 "
+        "rounds close at any corpus size (large-star/small-star is the "
+        "documented long-chain upgrade). Oracle: DuckDB recursive CTE "
+        "computes min-reachable-id per vertex over the same pair SQL.",
+)
+def q37(spark, sf_dir):
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, text_col="text", id_col="doc_id", n=2,
+                              num_perm=_MH_PERM, bands=_MH_BANDS,
+                              verify_tau=_MH_TAU, hash_fn="md5_60")
+    cc = connected_components(pairs, vertices=d.select("doc_id"),
+                              id_col="doc_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+
+
+_SAMPLE_RATES = {"en": 150, "zh": 1000}  # permille; rebalance: clip en, keep zh
+_SAMPLE_DEFAULT = 600
+
+_Q38_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ({_md5h_sql('CAST(doc_id AS VARCHAR)')}) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM keyed
+WHERE bucket < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']}
+                         WHEN 'zh' THEN {_SAMPLE_RATES['zh']}
+                         ELSE {_SAMPLE_DEFAULT} END
+"""
+
+
+@register(
+    "q38_stratified_sample",
+    _Q38_SQL,
+    doc="deterministic language-rebalancing sample (sampling."
+        "stratified_sample): keep-rate per lang stratum decided by "
+        "hash(doc_id) % 1000 — reproducible across reruns, engines, and "
+        "cluster sizes (unlike rand()/sample()), membership stable under "
+        "corpus growth. Plan is one scan + codegen'd CASE filter: ZERO "
+        "exchanges at any corpus size.",
+)
+def q38(spark, sf_dir):
+    from .sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(d, key_col="doc_id", strata_col="lang",
+                             rates=_SAMPLE_RATES,
+                             default_permille=_SAMPLE_DEFAULT,
+                             hash_fn="md5_60")
+    return kept.select("doc_id", "lang", "bucket")
+
+
+from .analysis import EMAIL_PATTERN as _PII_EMAIL, PHONE_PATTERN as _PII_PHONE  # noqa: E402
+
+# PII-bearing text synthesized identically in both engines FROM the shared
+# documents table (planted emails on 2/3 of docs, phones on all), so the
+# redaction is oracle-checked without landing any fixture
+_Q41_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN '' "
+    "ELSE ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com' END "
+    "|| ' or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+_Q41_RED_SQL = ("regexp_replace(regexp_replace(t, '" + _PII_EMAIL +
+                "', '<EMAIL>', 'g'), '" + _PII_PHONE + "', '<PHONE>', 'g')")
+
+_Q41_SQL = (
+    "WITH aug AS (SELECT doc_id, " + _Q41_AUG_SQL + " AS t FROM documents)\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(t, '" + _PII_EMAIL + "')) AS BIGINT) AS n_email,\n"
+    "  CAST(len(regexp_extract_all(t, '" + _PII_PHONE + "')) AS BIGINT) AS n_phone,\n"
+    "  md5(" + _Q41_RED_SQL + ") AS redacted_md5,\n"
+    "  CAST(length(" + _Q41_RED_SQL + ") AS BIGINT) AS redacted_len\n"
+    "FROM aug"
+)
+
+
+@register(
+    "q41_pii_redaction",
+    _Q41_SQL,
+    doc="PII scrub (analysis.pii_redact_columns): count + redact emails and "
+        "phone numbers before training — built-in regexp expressions only, "
+        "per-row, zero exchanges, patterns restricted to the regex subset "
+        "where Java regex and RE2 agree byte-for-byte. The oracle plants "
+        "the SAME synthetic PII from doc_id in DuckDB and compares the md5 "
+        "of the redacted text (byte-level scrub equivalence, not just "
+        "counts). DuckDB regexp_replace needs the 'g' flag to match "
+        "Spark's replace-all default.",
+)
+def q41(spark, sf_dir):
+    from .analysis import pii_redact_columns
+
+    d = _t(spark, sf_dir, "documents")
+    email = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("")) \
+             .otherwise(F.concat(F.lit(" Contact user"),
+                                 F.col("doc_id").cast("string"),
+                                 F.lit("@example.com")))
+    aug = F.concat(
+        F.col("text"), email, F.lit(" or 555-123-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit("."))
+    counts, red = pii_redact_columns(aug)
+    return d.select(
+        F.col("doc_id"), *counts,
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"))
+
+
+_TOPK_TERMS = 5
+
+_Q40_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT source, term, COUNT(*) AS n FROM toks
+  WHERE length(term) > 0 GROUP BY source, term
+), ranked AS (
+  SELECT source, term, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, term ASC) AS rnk
+  FROM counts
+)
+SELECT source, term, n, rnk FROM ranked WHERE rnk <= {_TOPK_TERMS}
+"""
+
+
+@register(
+    "q40_top_terms_by_source",
+    _Q40_SQL,
+    doc="vocabulary building: top-5 terms per corpus slice (analysis."
+        "top_terms) — explode collapsed by a hash aggregate with map-side "
+        "partial combine (the shuffle carries (source, term, n) partials, "
+        "never token streams), row_number over the vocabulary-sized "
+        "distinct set, total tie-break (n DESC, term ASC) so the cut is "
+        "reproducible in both engines.",
+)
+def q40(spark, sf_dir):
+    from .analysis import top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms(d, text_col="text", group_col="source", k=_TOPK_TERMS)
+
+
+_REP_NUM, _REP_DEN = 3, 10  # keep iff dup_3gram_frac <= 3/10
+
+
+def _rep_gram_sql(n: int) -> str:
+    parts = ", ".join(f"t[i + {j}]" if j else "t[i]" for j in range(n))
+    return (f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n - 2}), "
+            f"i -> concat_ws(chr(95), {parts})) "
+            f"ELSE []::VARCHAR[] END")
+
+
+_Q39_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         {_rep_gram_sql(2)} AS g2,
+         {_rep_gram_sql(3)} AS g3
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup_2gram,
+       CAST(CASE WHEN len(g2) <= 0 THEN 0.0
+            ELSE ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / CAST(len(g2) AS DOUBLE), 6) END AS DOUBLE)
+         AS dup_2gram_frac,
+       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup_3gram,
+       CAST(CASE WHEN len(g3) <= 0 THEN 0.0
+            ELSE ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                       / CAST(len(g3) AS DOUBLE), 6) END AS DOUBLE)
+         AS dup_3gram_frac,
+       CAST(len(g3) <= 0 OR
+            (len(g3) - len(list_distinct(g3))) * {_REP_DEN}
+              <= {_REP_NUM} * len(g3) AS INT) AS keep_repetition
+FROM sig
+"""
+
+
+@register(
+    "q39_repetition_signals",
+    _Q39_SQL,
+    doc="within-doc repetition signals (analysis.repetition_df — the Gopher "
+        "repetition-removal family): duplicate 2-/3-gram counts + fractions "
+        "per document and the keep bit (dup_3gram_frac <= 0.3 via integer "
+        "cross-multiplication, exact in both engines). Pure nested-array "
+        "expressions in ONE projection: per-row, zero exchanges, computed "
+        "in the same scan that reads the text.",
+)
+def q39(spark, sf_dir):
+    from .analysis import repetition_df
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_df(d, id_col="doc_id", text_col="text", ns=(2, 3),
+                         keep_n=3, keep_num=_REP_NUM, keep_den=_REP_DEN)
 
 
 _SH_BITS, _SH_BANDS = 60, 15

@@ -1,0 +1,68 @@
+"""Deterministic (hash-gated) sampling — the reproducible subsetting ops of
+a training-data pipeline (language rebalancing, held-out splits, ablation
+slices).
+
+Why hash gates and not ``rand()``/``sample()``: a training-data recipe must
+be REPRODUCIBLE and AUDITABLE — the same corpus and the same rates must
+select the same rows on every rerun, on any cluster size, in any engine.
+``rand()`` depends on partition layout and seed plumbing; a hash of a stable
+key does not. The gate ``hash(key) % buckets < rate`` is also exactly what
+makes incremental processing safe: a document's membership never changes
+when the corpus around it grows (per-key decision, no global state).
+
+Scale shape: every operator here is a single scan + codegen'd filter —
+zero shuffles, zero Python. Rates compose: a 10% sample of a 50% sample is
+the rows with bucket < 50 AND an independent second-key bucket < 100.
+
+Reference parity: document_extraction_tools exposes no sampler (its
+TestDataLoader loads a fixed eval set, src/document_extraction_tools/
+orchestrators/evaluation.py); this module is the engine extension for
+corpus-scale work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import HASH_FNS
+
+
+def hash_bucket(key: Column | str, *, buckets: int = 1000,
+                hash_fn: str = "md5_60") -> Column:
+    """Stable bucket in [0, buckets) from the string form of ``key``.
+
+    md5_60 is the portable (DuckDB-reproducible) hash; xxhash64 the faster
+    production one. The key is cast to string so integer and string keys
+    bucket identically in every engine.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    fn, _ = HASH_FNS[hash_fn]
+    return F.pmod(fn(c.cast("string")), F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, *, key_col: str, permille: int,
+                hash_fn: str = "md5_60") -> DataFrame:
+    """Keep ``permille``/1000 of rows, decided per key — deterministic
+    across reruns and engines."""
+    return df.filter(
+        hash_bucket(key_col, buckets=1000, hash_fn=hash_fn) < permille)
+
+
+def stratified_sample(df: DataFrame, *, key_col: str, strata_col: str,
+                      rates: dict[str, int], default_permille: int = 1000,
+                      hash_fn: str = "md5_60",
+                      bucket_out: str | None = "bucket") -> DataFrame:
+    """Per-stratum keep rates (permille), e.g. language rebalancing:
+    downsample the dominant language, keep the tail at full rate.
+
+    One scan, one codegen'd CASE + filter — the plan has no exchange at any
+    corpus size, and the selection is stable under corpus growth (each row's
+    fate depends only on its own key).
+    """
+    bucket = hash_bucket(key_col, buckets=1000, hash_fn=hash_fn)
+    gate = F.lit(default_permille)
+    for stratum, rate in sorted(rates.items()):
+        gate = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(gate)
+    out = df.withColumn(bucket_out or "bucket", bucket)
+    kept = out.filter(F.col(bucket_out or "bucket") < gate)
+    return kept if bucket_out else kept.drop("bucket")

@@ -1,0 +1,160 @@
+"""Tests for the round-3 corpus operators: connected-components cluster
+assignment, deterministic stratified sampling, repetition signals, and
+top-k vocabulary."""
+
+from pyspark.sql import functions as F
+
+from webextract.analysis import repetition_df, top_terms
+from webextract.dedup import connected_components
+from webextract.sampling import hash_sample, stratified_sample
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges, vertices=None):
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    v = (spark.createDataFrame([(x,) for x in vertices], "id long")
+         if vertices is not None else None)
+    out = connected_components(e, vertices=v, id_col="id")
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # a–b, b–c, c–d: diameter 3, needs >1 propagation round
+    got = _cc(spark, [(2, 3), (3, 4), (4, 5)])
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_cc_two_components_and_singleton(spark):
+    got = _cc(spark, [(10, 11), (20, 21), (21, 22)], vertices=range(10, 31))
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+    singles = {v: c for v, c in got.items() if v not in (10, 11, 20, 21, 22)}
+    assert all(v == c for v, c in singles.items()) and len(got) == 21
+
+
+def test_cc_non_transitive_pairs_merge(spark):
+    # a~b and b~c without a~c still form one dedup group
+    got = _cc(spark, [(1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_sample_deterministic_and_engine_stable(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(d, key_col="doc_id",
+                                          permille=250).collect()}
+    b = {r["doc_id"] for r in hash_sample(d, key_col="doc_id",
+                                          permille=250).collect()}
+    assert a == b and 0 < len(a) < 400
+
+
+def test_stratified_rates_and_growth_stability(spark):
+    rates = {"en": 100, "zh": 1000}
+    small, big = _docs(spark, 200), _docs(spark, 400)
+    kept_small = {r["doc_id"] for r in stratified_sample(
+        small, key_col="doc_id", strata_col="lang", rates=rates,
+        default_permille=500).collect()}
+    kept_big = stratified_sample(big, key_col="doc_id", strata_col="lang",
+                                 rates=rates, default_permille=500)
+    rows = kept_big.collect()
+    # per-row gate respected
+    for r in rows:
+        limit = rates.get(r["lang"], 500)
+        assert r["bucket"] < limit
+    # zh stratum kept in full
+    n_zh = sum(1 for i in range(400) if i % 3 == 2)
+    assert sum(1 for r in rows if r["lang"] == "zh") == n_zh
+    # membership is stable under corpus growth: the small corpus's sample is
+    # exactly the big sample restricted to the small corpus's ids
+    big_ids = {r["doc_id"] for r in rows if r["doc_id"] < 200}
+    assert kept_small == big_ids
+
+
+def test_xxhash_production_path(spark):
+    d = _docs(spark)
+    kept = hash_sample(d, key_col="doc_id", permille=500, hash_fn="xxhash64")
+    n = kept.count()
+    assert 120 < n < 280  # ~50% of 400, loose binomial bounds
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_hand_computed(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, ""), (4, "solo"),
+         (5, "spam spam spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_df(d).collect()}
+    # doc 1: 2-grams [a_a, a_a, a_b] → 1 dup; 3-grams [a_a_a, a_a_b] → 0
+    assert got[1]["dup_2gram"] == 1 and got[1]["dup_2gram_frac"] == 0.333333
+    assert got[1]["dup_3gram"] == 0 and got[1]["keep_repetition"] == 1
+    # doc 2: no repetition at all
+    assert got[2]["dup_2gram"] == 0 and got[2]["keep_repetition"] == 1
+    # empty + sub-n docs: zero signals, kept
+    assert got[3]["n_tokens"] == 0 and got[3]["keep_repetition"] == 1
+    assert got[4]["n_tokens"] == 1 and got[4]["dup_2gram_frac"] == 0.0
+    # doc 5: 10×"spam" → 9 bigrams all equal (8 dups), 8 trigrams (7 dups)
+    assert got[5]["dup_2gram"] == 8 and got[5]["dup_3gram"] == 7
+    assert got[5]["keep_repetition"] == 0  # 7/8 > 0.3 → reject
+
+
+def test_repetition_zero_shuffle_plan(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = repetition_df(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# top-k vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_counts_and_tiebreak(spark):
+    d = spark.createDataFrame(
+        [(1, "b a a", "s1"), (2, "b c", "s1"), (3, "z z", "s2")],
+        "doc_id long, text string, source string")
+    rows = top_terms(d, group_col="source", k=2).collect()
+    got = {(r["source"], r["rnk"]): (r["term"], r["n"]) for r in rows}
+    # s1: a=2, b=2 → tie broken by term asc
+    assert got[("s1", 1)] == ("a", 2)
+    assert got[("s1", 2)] == ("b", 2)
+    assert got[("s2", 1)] == ("z", 2)
+    assert len(rows) == 3  # s2 has only one term
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_counts_and_scrub(spark):
+    from webextract.analysis import pii_redact_df
+
+    d = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.example.org and x@y.io or call 212-555-0101"),
+         (2, "no pii here"),
+         (3, "half@match@nope 123-45-6789")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_redact_df(d).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 1
+    assert got[1]["text_redacted"] == "mail <EMAIL> and <EMAIL> or call <PHONE>"
+    assert got[2]["n_email"] == 0 and got[2]["text_redacted"] == "no pii here"
+    # 'half@match@nope': 'match@nope' has no dot-TLD tail → no email match;
+    # 123-45-6789 is an SSN shape, not the phone rule
+    assert got[3]["n_email"] == 0 and got[3]["n_phone"] == 0
