@@ -875,6 +875,89 @@ def q38(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket")
 
 
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+_Q42_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "q42_sessionize",
+    _Q42_SQL,
+    doc="gap-based sessionization (relops.sessionize): lag() marks session "
+        "starts, running sum() numbers them — both windows share one "
+        "(key, order) so the plan is ONE exchange + ONE sort with both "
+        "window functions in a single Window node; then a session-level "
+        "rollup. Microsecond integer arithmetic keeps the 4h boundary "
+        "exact in both engines.",
+)
+def q42(spark, sf_dir):
+    from .relops import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", order_tiebreak="event_id",
+                   gap="4 hours")
+    return (s.groupBy("user_id", "session_idx")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("session_start"),
+                  F.max("ts").alias("session_end")))
+
+
+_Q43_SQL = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       v.event_id AS asof_event_id, v.ts AS asof_ts,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+@register(
+    "q43_asof_join",
+    _Q43_SQL,
+    doc="as-of join (relops.asof_join — Spark has no ASOF primitive): each "
+        "click matched to the user's most recent view at-or-before it, via "
+        "union-tag linearization + last_value(ignorenulls) over (key ORDER "
+        "BY ts, tag) — ONE shuffle of |L|+|R| rows keyed on user_id, one "
+        "sort, NO range theta-join and NO per-row subquery (the Flink "
+        "temporal-join plan shape). Oracle: DuckDB's native ASOF LEFT JOIN.",
+)
+def q43(spark, sf_dir):
+    from .relops import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    j = asof_join(clicks, views, key="user_id", left_ts="ts",
+                  right_payload=["event_id"])
+    # inner variant: clicks with no prior view are dropped on both sides —
+    # NULL-free output (BIGINT NULL -> pandas NaN would break value parity)
+    return j.filter(F.col("asof_ts").isNotNull()).select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_event_id"), F.col("asof_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp_ltz")))
+        .cast("long").alias("lag_us"))
+
+
 from .analysis import EMAIL_PATTERN as _PII_EMAIL, PHONE_PATTERN as _PII_PHONE  # noqa: E402
 
 # PII-bearing text synthesized identically in both engines FROM the shared

@@ -1,0 +1,102 @@
+"""Relational operators Spark's DataFrame API lacks as primitives, built as
+compositions of built-in ops (no Python in the hot path): gap-based
+sessionization and the as-of (nearest-earlier) join.
+
+Both follow the same scale discipline as the rest of the engine: ONE shuffle
+keyed on the entity id, sort within the partition, window functions do the
+rest — never a per-row subquery, never a range cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _us(c: Column) -> Column:
+    """Microseconds since epoch; accepts TIMESTAMP and TIMESTAMP_NTZ (the
+    parquet default). Only DIFFERENCES of this value are ever used, so the
+    NTZ->LTZ session-zone offset cancels (and the session zone is pinned to
+    UTC in session.get_spark anyway)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def sessionize(df: DataFrame, *, key: str = "user_id", ts: str = "ts",
+               order_tiebreak: str = "event_id",
+               gap: str = "4 hours") -> DataFrame:
+    """Assign gap-based session indexes: a new session starts when the time
+    since the entity's previous event exceeds ``gap``.
+
+    The classic two-window composition: lag() marks session starts, a
+    running sum() numbers them. Both windows share the same
+    (partition key, order) so Spark plans ONE exchange + ONE sort and
+    evaluates both window functions in a single Window node. Microsecond
+    arithmetic keeps the boundary exact in any engine.
+
+    Returns the input plus ``session_idx`` (1-based per entity).
+    """
+    gap_us = _duration_us(gap)
+    w = W.partitionBy(key).orderBy(ts, order_tiebreak)
+    prev = F.lag(ts).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (_us(F.col(ts)) - _us(prev) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+
+
+def _duration_us(s: str) -> int:
+    n, unit = s.split()
+    mult = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60,
+            "hours": 3600, "hour": 3600, "days": 86400, "day": 86400}[unit]
+    return int(n) * mult * 1_000_000
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, key: str,
+              left_ts: str, right_ts: str | None = None,
+              right_payload: list[str] | None = None,
+              tolerance_us: int | None = None) -> DataFrame:
+    """As-of join: for every left row, the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same ``key`` (NULLs when none) —
+    point-in-time feature lookup / "state as of the event" semantics.
+
+    Spark has no ASOF primitive; the naive formulations are a range
+    theta-join (quadratic per key) or a per-row subquery. This is the
+    union-tag linearization instead: tag both inputs, union them, and take
+    ``last_value(payload, ignorenulls)`` over (key ORDER BY ts, tag) — right
+    rows sort BEFORE left rows at equal ts, so "at-or-before" includes
+    same-instant matches, matching DuckDB's ``ASOF JOIN ... ON l.ts >=
+    r.ts`` (q43's oracle). Cost: ONE shuffle of |L|+|R| rows keyed on
+    ``key`` + one sort — the same plan shape Flink uses for temporal joins.
+
+    ``right_payload`` columns come back prefixed ``asof_``;
+    ``tolerance_us`` voids matches older than the window.
+    """
+    right_ts = right_ts or left_ts
+    payload = right_payload or [c for c in right.columns
+                                if c not in (key, right_ts)]
+    lt = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.select(
+        F.col(key), F.lit(0).alias("_tag"), F.col(right_ts).alias("_ats"),
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in payload])
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (W.partitionBy(key).orderBy("_ats", "_tag")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = [F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+               for c in payload]
+    matched_ts = F.last("_asof_ts", ignorenulls=True).over(w).alias("_asof_ts")
+    out = u.select("*").select(
+        *[c for c in left.columns], "_tag", matched_ts, *carried,
+    ).filter(F.col("_tag") == 1).drop("_tag")
+    if tolerance_us is not None:
+        lag = _us(F.col(left_ts)) - _us(F.col("_asof_ts"))
+        stale = F.col("_asof_ts").isNull() | (lag > tolerance_us)
+        keep_cols = [c for c in out.columns if not c.startswith("_")]
+        out = out.select(
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+              if c.startswith("asof_") else F.col(c) for c in keep_cols],
+            F.when(stale, F.lit(None)).otherwise(F.col("_asof_ts"))
+             .alias("_asof_ts"))
+    return out.withColumnRenamed("_asof_ts", "asof_ts")

@@ -1,0 +1,70 @@
+"""Tests for relops: gap sessionization and the as-of join."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from webextract.relops import asof_join, sessionize
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes, micros=0):
+    return T0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap = 10 minutes; exactly-10min gap stays in session (> gap splits)
+    rows = [(1, 100, _ts(0)), (2, 100, _ts(10)), (3, 100, _ts(20, 1)),
+            (4, 200, _ts(0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap="10 minutes").collect()}
+    assert got[1] == 1 and got[2] == 1   # 10:00 gap == gap → same session
+    assert got[3] == 2                   # 10:00.000001 gap > gap → new one
+    assert got[4] == 1                   # other user independent
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5)), (2, 100, _ts(30)), (3, 200, _ts(5))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts(5)), (12, 100, _ts(10)), (13, 300, _ts(0))],
+        "event_id long, user_id long, ts timestamp")
+    out = asof_join(left, right, key="user_id", left_ts="ts",
+                    right_payload=["event_id"])
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_ts"])
+           for r in out.collect()}
+    assert got[1] == (11, _ts(5))      # same-instant right row matches
+    assert got[2] == (12, _ts(10))     # greatest right ts <= left ts
+    assert got[3] == (None, None)      # no right rows for this key
+    assert len(got) == 3               # every left row survives (left join)
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, _ts(60))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(11, 100, _ts(0))],
+                                  "event_id long, user_id long, ts timestamp")
+    fresh = asof_join(left, right, key="user_id", left_ts="ts",
+                      right_payload=["event_id"],
+                      tolerance_us=3600 * 1_000_000).collect()[0]
+    stale = asof_join(left, right, key="user_id", left_ts="ts",
+                      right_payload=["event_id"],
+                      tolerance_us=3599 * 1_000_000).collect()[0]
+    assert fresh["asof_event_id"] == 11      # 60 min lag within 1h tolerance
+    assert stale["asof_event_id"] is None    # voided past tolerance
+
+
+def test_asof_join_single_exchange_on_key(spark):
+    left = spark.createDataFrame([(1, 100, _ts(1))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(11, 100, _ts(0))],
+                                  "event_id long, user_id long, ts timestamp")
+    out = asof_join(left, right, key="user_id", left_ts="ts",
+                    right_payload=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange keyed on user_id for the window; no join node at all
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
