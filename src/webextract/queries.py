@@ -877,11 +877,16 @@ def q38(spark, sf_dir):
 
 _SESSION_GAP_US = 4 * 3600 * 1_000_000
 
-_Q42_SQL = f"""
-WITH ordered AS (
+
+def _sess_ctes(split_op: str) -> str:
+    """Session-derivation CTEs; ``split_op`` is the new-session comparison:
+    '>' matches relops.sessionize (== gap stays), '>=' matches Spark's
+    built-in session_window (window end is exclusive: last_ts + gap)."""
+    return f"""ordered AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   {split_op} {_SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -890,7 +895,11 @@ WITH ordered AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM ordered
-)
+)"""
+
+
+_Q42_SQL = f"""
+WITH {_sess_ctes('>')}
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sess GROUP BY user_id, session_idx
@@ -917,6 +926,135 @@ def q42(spark, sf_dir):
              .agg(F.count("*").alias("n_events"),
                   F.min("ts").alias("session_start"),
                   F.max("ts").alias("session_end")))
+
+
+_Q44_SQL = f"""
+WITH {_sess_ctes('>=')}
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 4 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "q44_session_window_builtin",
+    _Q44_SQL,
+    doc="Spark's BUILT-IN session_window aggregation (the streaming-capable "
+        "gap-session primitive, exercised in batch): one hash aggregate "
+        "over (user_id, session_window(ts, gap)) — window end is exclusive "
+        "(last event + gap), so the oracle's split comparison is >= where "
+        "relops.sessionize (q42) uses >. Complements q42: same semantics "
+        "family, engine-native operator vs portable composition.",
+)
+def q44(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "4 hours"))
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id",
+                     F.col("session_window.start").alias("session_start"),
+                     F.col("session_window.end").alias("session_end"),
+                     "n_events"))
+
+
+_PER_SOURCE_CAP = 15
+
+_Q45_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_md5h_sql('CAST(doc_id AS VARCHAR)')},
+                                     doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_PER_SOURCE_CAP}
+"""
+
+
+@register(
+    "q45_per_source_cap",
+    _Q45_SQL,
+    doc="per-source document cap (sampling.per_group_cap): keep a "
+        "deterministic pseudo-random 15 docs per source — the crawl-"
+        "balance op that stops one domain dominating the corpus. "
+        "row_number over (source ORDER BY hash(doc_id)) is an unbiased "
+        "shuffle within the group AND reproducible across engines; "
+        "Catalyst's WindowGroupLimit pre-trims each task to its local "
+        "top-k before the exchange, so the shuffle moves at most "
+        "cap x sources x tasks rows at any corpus size.",
+)
+def q45(spark, sf_dir):
+    from .sampling import per_group_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_group_cap(d, group_col="source", key_col="doc_id",
+                         cap=_PER_SOURCE_CAP, hash_fn="md5_60")
+
+
+_TFIDF_TOPK, _TFIDF_SCALE = 3, 1_000_000
+
+_Q46_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE length(term) > 0 GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(idf.df AS BIGINT) AS df,
+         CAST((tf.tf * n.n_docs * {_TFIDF_SCALE}) // idf.df AS BIGINT)
+           AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
+@register(
+    "q46_tfidf_top_terms",
+    _Q46_SQL,
+    doc="per-doc top-3 characteristic terms by an INTEGER-EXACT tf-idf "
+        "surrogate: score = tf * N * 1e6 DIV df (monotone in tf * N/df, no "
+        "float log, so both engines agree bit-for-bit). Plan: tf hash-agg "
+        "with map-side combine, vocabulary-sized idf agg joined back on "
+        "term, corpus size broadcast as a 1-row cross join, WindowGroupLimit "
+        "top-k per doc — no token-stream shuffle anywhere past the first "
+        "aggregate.",
+)
+def q46(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = (d.filter(F.length(t) > 0)
+             .select("doc_id", F.explode(F.split(F.lower(t), r"\s+"))
+                     .alias("term"))
+             .filter(F.length("term") > 0))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (tf.join(idf, "term").crossJoin(F.broadcast(n))
+                .select("doc_id", "term", "tf", "df",
+                        F.expr(f"tf * n_docs * {_TFIDF_SCALE} div df")
+                         .cast("long").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= _TFIDF_TOPK)
+                  .select("doc_id", "term", "tf", "df", "score", "rk"))
 
 
 _Q43_SQL = """

@@ -66,3 +66,27 @@ def stratified_sample(df: DataFrame, *, key_col: str, strata_col: str,
     out = df.withColumn(bucket_out or "bucket", bucket)
     kept = out.filter(F.col(bucket_out or "bucket") < gate)
     return kept if bucket_out else kept.drop("bucket")
+
+
+def per_group_cap(df: DataFrame, *, group_col: str, key_col: str,
+                  cap: int, hash_fn: str = "md5_60",
+                  rank_out: str = "rk") -> DataFrame:
+    """Keep a deterministic pseudo-random ``cap`` rows per group — the
+    crawl-balance operator (cap docs per domain/source so no single origin
+    dominates the training mix).
+
+    Ordering within the group by ``hash(key)`` (key as tiebreak) is an
+    unbiased shuffle that is REPRODUCIBLE across engines and reruns, unlike
+    ``rand()``. Catalyst plans a ``WindowGroupLimit`` below the exchange:
+    every task pre-trims to its local top-``cap`` per group, so the shuffle
+    moves at most cap x |groups| x tasks rows at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    h = hash_bucket(key_col, buckets=1 << 62, hash_fn=hash_fn)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.select(group_col, key_col)
+              .withColumn(rank_out, F.row_number().over(w))
+              .filter(F.col(rank_out) <= cap)
+              .select(key_col, group_col, F.col(rank_out).cast("long")
+                      .alias(rank_out)))

@@ -158,3 +158,22 @@ def test_pii_redaction_counts_and_scrub(spark):
     # 'half@match@nope': 'match@nope' has no dot-TLD tail → no email match;
     # 123-45-6789 is an SSN shape, not the phone rule
     assert got[3]["n_email"] == 0 and got[3]["n_phone"] == 0
+
+
+def test_per_group_cap_binds_and_deterministic(spark):
+    from webextract.sampling import per_group_cap
+
+    rows = [(i, "s1" if i < 40 else "s2") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    a = per_group_cap(d, group_col="source", key_col="doc_id", cap=10)
+    got = a.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert 1 <= r["rk"] <= 10
+    assert len(by_src["s1"]) == 10    # cap binds on the big group
+    assert len(by_src["s2"]) == 10
+    b = {(r["source"], r["doc_id"])
+         for r in per_group_cap(d, group_col="source", key_col="doc_id",
+                                cap=10).collect()}
+    assert {(r["source"], r["doc_id"]) for r in got} == b  # reproducible
