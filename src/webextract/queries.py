@@ -1057,6 +1057,50 @@ def q46(spark, sf_dir):
                   .select("doc_id", "term", "tf", "df", "score", "rk"))
 
 
+_RANGE_WIN_US = 3600 * 1_000_000
+
+_Q47_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= {_RANGE_WIN_US}
+"""
+
+
+@register(
+    "q47_range_join_banded",
+    _Q47_SQL,
+    doc="interval/range join (relops.range_join): purchases within 1h after "
+        "a click by the same user. The engine plan is the BANDING "
+        "decomposition — bucket both sides by floor(ts/window), explode the "
+        "left to its two candidate buckets, pure EQUI-join on (key, bucket) "
+        "+ exact range filter — linear in matches + band co-occupancy "
+        "instead of the naive equi-join-on-key's quadratic per-key pair "
+        "blowup (the Flink interval-join shape). Oracle: DuckDB's direct "
+        "inequality join.",
+)
+def q47(spark, sf_dir):
+    from .relops import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts")
+    buys = e.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "ts", "user_id")
+    j = range_join(clicks, buys, key="user_id", left_ts="ts",
+                   right_ts="ts", window_us=_RANGE_WIN_US)
+    return j.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_micros(F.col("r_ts").cast("timestamp_ltz"))
+         - F.unix_micros(F.col("l_ts").cast("timestamp_ltz")))
+        .cast("long").alias("gap_us"))
+
+
 _Q43_SQL = """
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
        v.event_id AS asof_event_id, v.ts AS asof_ts,

@@ -100,3 +100,40 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
             F.when(stale, F.lit(None)).otherwise(F.col("_asof_ts"))
              .alias("_asof_ts"))
     return out.withColumnRenamed("_asof_ts", "asof_ts")
+
+
+def range_join(left: DataFrame, right: DataFrame, *, key: str,
+               left_ts: str, right_ts: str,
+               window_us: int) -> DataFrame:
+    """Banded range join: all (left, right) pairs with the same ``key`` and
+    ``right_ts`` in ``[left_ts, left_ts + window_us]`` — "purchase within an
+    hour of the click" joins.
+
+    The naive formulation is an equi-join on ``key`` with a range residual:
+    the join itself materializes |L_k| x |R_k| pairs per key before
+    filtering — quadratic in the per-key event count. This is the banding
+    decomposition instead: bucket both sides by ``floor(ts / window)``; a
+    left row in bucket b can only match right buckets b and b+1, so the
+    left side is exploded to its two candidate buckets and the join is a
+    pure EQUI-join on (key, bucket) + the exact range filter. Each right
+    row lives in exactly one bucket, so no dedup is needed. Cost is linear
+    in true matches + band co-occupancy — the standard interval-join plan
+    of streaming engines (Flink interval joins band the state the same
+    way), and it shuffles both sides ONCE on (key, bucket).
+
+    Left columns come back prefixed ``l_``, right columns ``r_``.
+    """
+    b_l = (_us(F.col(left_ts)) / F.lit(window_us)).cast("long")
+    b_r = (_us(F.col(right_ts)) / F.lit(window_us)).cast("long")
+    lt = left.select(
+        F.col(key).alias("_k"), _us(F.col(left_ts)).alias("_lus"),
+        F.explode(F.array(b_l, b_l + 1)).alias("_b"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns])
+    rt = right.select(
+        F.col(key).alias("_k"), _us(F.col(right_ts)).alias("_rus"),
+        b_r.alias("_b"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns])
+    gap = F.col("_rus") - F.col("_lus")
+    return (lt.join(rt, ["_k", "_b"])
+              .filter((gap >= 0) & (gap <= window_us))
+              .drop("_k", "_b", "_lus", "_rus"))

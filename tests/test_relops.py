@@ -68,3 +68,35 @@ def test_asof_join_single_exchange_on_key(spark):
     # one hash exchange keyed on user_id for the window; no join node at all
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in plan
+
+
+def test_range_join_boundaries(spark):
+    from webextract.relops import range_join
+
+    left = spark.createDataFrame([(1, 100, _ts(0))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts(0)),            # same instant: included (gap 0)
+         (12, 100, _ts(60)),           # exactly at window edge: included
+         (13, 100, _ts(60, 1)),        # 1 us past: excluded
+         (14, 100, _ts(-1)),           # before left: excluded
+         (15, 200, _ts(30))],          # other key: excluded
+        "event_id long, user_id long, ts timestamp")
+    out = range_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                     window_us=3_600_000_000)  # 60 minutes in us
+    got = sorted(r["r_event_id"] for r in out.collect())
+    assert got == [11, 12]
+
+
+def test_range_join_is_equi_join_plan(spark):
+    from webextract.relops import range_join
+
+    left = spark.createDataFrame([(1, 100, _ts(0))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(11, 100, _ts(1))],
+                                  "event_id long, user_id long, ts timestamp")
+    out = range_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                     window_us=3_600_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # hash/sort-merge EQUI join on (_k, _b); never BroadcastNestedLoop
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
