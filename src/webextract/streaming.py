@@ -91,6 +91,51 @@ def start_metrics_stream(spark: SparkSession, input_dir: str, output_dir: str,
     return w.start()
 
 
+def session_metrics(extracted_stream: DataFrame, *, key: str = "url",
+                    gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming SESSION windows: per-key activity bursts separated by
+    ``gap`` of event-time silence (recrawl bursts per url, user sessions on
+    an events stream) — the streaming twin of relops.sessionize/q44.
+
+    ``session_window`` keeps per-(key, open-session) state that MERGES when
+    late rows bridge two open sessions; the watermark both bounds that state
+    and finalizes sessions for append output. State is one window struct per
+    open session per key — bounded by the active-key set within the
+    watermark horizon, independent of total stream length.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        extracted_stream
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("s"), F.col(key))
+        .agg(F.count("*").alias("docs"),
+             F.sum(F.octet_length("text")).alias("bytes_extracted"))
+        .select(F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                F.col(key), "docs", "bytes_extracted")
+    )
+
+
+def start_session_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                         checkpoint_dir: str, *, key: str = "url",
+                         gap: str = "30 minutes", watermark: str = "2 hours",
+                         available_now: bool = False):
+    """Source → extract → watermarked session windows → parquet sink."""
+    m = session_metrics(extract_stream(read_pages_stream(spark, input_dir)),
+                        key=key, gap=gap, watermark=watermark)
+    w = (
+        m.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 DEDUP_OUT_SCHEMA = T.StructType([
     T.StructField("content_key", T.LongType()),
     T.StructField("url", T.StringType()),
