@@ -29,12 +29,17 @@ def token_count(col: Column | str) -> Column:
 
 
 def stopword_hits(col: Column | str, word: str) -> Column:
-    """Occurrences of ``word`` as a space-delimited token (lowercased).
+    """Occurrences of ``word`` as a whitespace-delimited token (lowercased).
 
     replace-length arithmetic: leftmost non-overlapping, exact integers.
+    Whitespace runs are normalized to single spaces FIRST — extracted text
+    is '\\n\\n'-block-joined (textnorm.BLOCK_JOINER), and without the
+    normalization every stopword adjacent to a block boundary would score
+    zero while still counting as a token, skewing quality ratios low.
     """
     c = F.col(col) if isinstance(col, str) else col
-    pad = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    pad = F.concat(F.lit(" "), norm, F.lit(" "))
     pat = f" {word} "
     return ((F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(""))))
             / F.lit(len(pat))).cast("long")

@@ -42,8 +42,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     q31's oracle checks this exact plan end-to-end).
     """
     fn, _ = HASH_FNS[hash_fn]
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    key = fn(norm).alias("text_hash")
+    key = fn(_norm_text(text_col)).alias("text_hash")
     with_key = df.select(F.col(id_col).alias("id"), key)
     canon = with_key.groupBy("text_hash").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
@@ -412,16 +411,26 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
                              F.col(id_col).cast("long").alias("label"))
     sym = sym.select(F.col("a").cast("long"), F.col("b").cast("long"))
     sym = sym.localCheckpoint(eager=True)  # edges reused every round
+
+    def _label_sum(df: DataFrame):
+        # labels only ever DECREASE, so their exact sum (decimal — no long
+        # overflow, no float fuzz) is a strictly decreasing progress
+        # measure: an unchanged sum IS the fixpoint. One tiny aggregate per
+        # round instead of a labels-vs-labels join + count.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = (sym.join(labels.withColumnRenamed("id", "a"), "a")
                    .select(F.col("b").alias("id"), "label"))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("id").agg(F.min("label").alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "id")
-                   .filter(F.col("label") < F.col("old")).count())
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

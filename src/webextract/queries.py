@@ -370,9 +370,13 @@ _TOK_COUNT_SQL = ("CASE WHEN length(trim({c})) = 0 THEN 0 "
 
 
 def _hits_sql(c: str, word: str) -> str:
+    # whitespace-normalized first — twin of analysis.stopword_hits (block
+    # boundaries are '\n\n'; without this, boundary-adjacent stopwords score 0)
     pat = f" {word} "
-    return (f"CAST((length(' ' || lower({c}) || ' ') - "
-            f"length(replace(' ' || lower({c}) || ' ', '{pat}', ''))) / {len(pat)} AS BIGINT)")
+    norm = f"regexp_replace(lower({c}), '\\s+', ' ', 'g')"
+    padded = f"' ' || {norm} || ' '"
+    return (f"CAST((length({padded}) - "
+            f"length(replace({padded}, '{pat}', ''))) / {len(pat)} AS BIGINT)")
 
 
 @register(
@@ -989,8 +993,9 @@ def q45(spark, sf_dir):
     from .sampling import per_group_cap
 
     d = _t(spark, sf_dir, "documents")
-    return per_group_cap(d, group_col="source", key_col="doc_id",
+    kept = per_group_cap(d, group_col="source", key_col="doc_id",
                          cap=_PER_SOURCE_CAP, hash_fn="md5_60")
+    return kept.select("doc_id", "source", "rk")
 
 
 _TFIDF_TOPK, _TFIDF_SCALE = 3, 1_000_000
@@ -1005,15 +1010,12 @@ WITH toks AS (
   WHERE length(term) > 0 GROUP BY doc_id, term
 ), idf AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-), n AS (
-  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
 ), scored AS (
   SELECT tf.doc_id, tf.term,
          CAST(tf.tf AS BIGINT) AS tf,
          CAST(idf.df AS BIGINT) AS df,
-         CAST((tf.tf * n.n_docs * {_TFIDF_SCALE}) // idf.df AS BIGINT)
-           AS score
-  FROM tf JOIN idf USING (term) CROSS JOIN n
+         CAST((tf.tf * {_TFIDF_SCALE}) // idf.df AS BIGINT) AS score
+  FROM tf JOIN idf USING (term)
 )
 SELECT doc_id, term, tf, df, score,
        CAST(rk AS BIGINT) AS rk
@@ -1028,12 +1030,14 @@ WHERE rk <= {_TFIDF_TOPK}
     "q46_tfidf_top_terms",
     _Q46_SQL,
     doc="per-doc top-3 characteristic terms by an INTEGER-EXACT tf-idf "
-        "surrogate: score = tf * N * 1e6 DIV df (monotone in tf * N/df, no "
-        "float log, so both engines agree bit-for-bit). Plan: tf hash-agg "
+        "surrogate: score = tf * 1e6 DIV df — monotone in tf/df (the "
+        "constant corpus-size factor is deliberately dropped: it cannot "
+        "change the ranking but tf*N*1e6 would overflow signed 64-bit at "
+        "10^10-doc corpora, where Spark wraps silently and DuckDB raises). "
+        "No float log, so both engines agree bit-for-bit. Plan: tf hash-agg "
         "with map-side combine, vocabulary-sized idf agg joined back on "
-        "term, corpus size broadcast as a 1-row cross join, WindowGroupLimit "
-        "top-k per doc — no token-stream shuffle anywhere past the first "
-        "aggregate.",
+        "term, WindowGroupLimit top-k per doc — no token-stream shuffle "
+        "past the first aggregate.",
 )
 def q46(spark, sf_dir):
     from pyspark.sql import Window
@@ -1046,10 +1050,9 @@ def q46(spark, sf_dir):
              .filter(F.length("term") > 0))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     idf = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
-    scored = (tf.join(idf, "term").crossJoin(F.broadcast(n))
+    scored = (tf.join(idf, "term")
                 .select("doc_id", "term", "tf", "df",
-                        F.expr(f"tf * n_docs * {_TFIDF_SCALE} div df")
+                        F.expr(f"tf * {_TFIDF_SCALE} div df")
                          .cast("long").alias("score")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rk", F.row_number().over(w))

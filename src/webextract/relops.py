@@ -47,10 +47,11 @@ def sessionize(df: DataFrame, *, key: str = "user_id", ts: str = "ts",
 
 
 def _duration_us(s: str) -> int:
-    n, unit = s.split()
-    mult = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60,
-            "hours": 3600, "hour": 3600, "days": 86400, "day": 86400}[unit]
-    return int(n) * mult * 1_000_000
+    """Parse a duration string to microseconds — one parser for the whole
+    engine (streaming TTLs and session gaps accept the same vocabulary)."""
+    from .streaming import _duration_ms
+
+    return _duration_ms(s) * 1000
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, key: str,
@@ -72,23 +73,34 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
 
     ``right_payload`` columns come back prefixed ``asof_``;
     ``tolerance_us`` voids matches older than the window.
+
+    The carried payload is ONE struct per right row, not per-column
+    last() calls: ``last(col, ignorenulls)`` per column would skip a NULL
+    field of the true matched row and back-fill it from an OLDER right row,
+    stitching values from different rows. The struct is non-null whenever a
+    right row exists, so ``last(struct, ignorenulls)`` selects the matched
+    ROW atomically, NULL fields included — same semantics as the oracle's
+    native ASOF join.
     """
     right_ts = right_ts or left_ts
     payload = right_payload or [c for c in right.columns
                                 if c not in (key, right_ts)]
-    lt = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    lt = left.withColumn("_tag", F.lit(1))
     rt = right.select(
-        F.col(key), F.lit(0).alias("_tag"), F.col(right_ts).alias("_ats"),
-        F.col(right_ts).alias("_asof_ts"),
-        *[F.col(c).alias(f"asof_{c}") for c in payload])
+        F.col(key), F.lit(0).alias("_tag"),
+        F.struct(F.col(right_ts).alias("_asof_ts"),
+                 *[F.col(c).alias(f"asof_{c}") for c in payload])
+         .alias("_p"))
+    rt = rt.withColumn("_ats", F.col("_p._asof_ts"))
+    lt = lt.withColumn("_ats", F.col(left_ts))
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (W.partitionBy(key).orderBy("_ats", "_tag")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
-    carried = [F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-               for c in payload]
-    matched_ts = F.last("_asof_ts", ignorenulls=True).over(w).alias("_asof_ts")
-    out = u.select("*").select(
-        *[c for c in left.columns], "_tag", matched_ts, *carried,
+    matched = F.last("_p", ignorenulls=True).over(w)
+    out = u.select(
+        *[c for c in left.columns], "_tag",
+        matched.getField("_asof_ts").alias("_asof_ts"),
+        *[matched.getField(f"asof_{c}").alias(f"asof_{c}") for c in payload],
     ).filter(F.col("_tag") == 1).drop("_tag")
     if tolerance_us is not None:
         lag = _us(F.col(left_ts)) - _us(F.col("_asof_ts"))
@@ -123,16 +135,19 @@ def range_join(left: DataFrame, right: DataFrame, *, key: str,
 
     Left columns come back prefixed ``l_``, right columns ``r_``.
     """
-    b_l = (_us(F.col(left_ts)) / F.lit(window_us)).cast("long")
-    b_r = (_us(F.col(right_ts)) / F.lit(window_us)).cast("long")
+    # integer division, not double: epoch-us values near/above 2^53 lose
+    # ulps in a double quotient and can land an edge row in bucket b+2,
+    # silently dropping a true match; `div` on longs is exact at any epoch
     lt = left.select(
         F.col(key).alias("_k"), _us(F.col(left_ts)).alias("_lus"),
-        F.explode(F.array(b_l, b_l + 1)).alias("_b"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns])
+    lt = lt.withColumn("_b0", F.expr(f"_lus div {window_us}"))
+    lt = lt.select("*", F.explode(F.array(F.col("_b0"), F.col("_b0") + 1))
+                   .alias("_b")).drop("_b0")
     rt = right.select(
         F.col(key).alias("_k"), _us(F.col(right_ts)).alias("_rus"),
-        b_r.alias("_b"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns])
+    rt = rt.withColumn("_b", F.expr(f"_rus div {window_us}"))
     gap = F.col("_rus") - F.col("_lus")
     return (lt.join(rt, ["_k", "_b"])
               .filter((gap >= 0) & (gap <= window_us))

@@ -349,6 +349,12 @@ def load_metrics(spark: SparkSession, root: str, run_id: str) -> DataFrame:
              .select([f.name for f in METRICS_SCHEMA.fields])
 
 
+# ~1M (url, warc_ts) keys ≈ low hundreds of MB broadcast — past this, let
+# AQE plan the semi-join from actual sizes instead of forcing a driver
+# collect of the whole DLQ
+_BROADCAST_DLQ_MAX_KEYS = 1_000_000
+
+
 def reprocess_errors(
     spark: SparkSession,
     pages: DataFrame,
@@ -379,11 +385,16 @@ def reprocess_errors(
     if n_dlq == 0:
         return {"run_id": run_id, "attempt": attempt, "reprocessed": 0,
                 "recovered": 0, "still_failing": 0}
+    # The DLQ key set is usually tiny next to a 100-TB pages side, so
+    # broadcasting it lets the semi-join avoid shuffling pages — but a
+    # SYSTEMATIC failure (the very case reprocess exists for) can put
+    # millions of keys in the DLQ, and a forced broadcast would collect
+    # them all to the driver. Gate the hint on the already-computed count
+    # and fall back to AQE's size-based planning above it.
+    keys = (F.broadcast(dlq_keys) if n_dlq <= _BROADCAST_DLQ_MAX_KEYS
+            else dlq_keys)
     subset = (
-        # the DLQ key set is tiny next to a 100-TB pages side — broadcast it
-        # so the semi-join never shuffles pages (AQE usually rescues this,
-        # but the hint makes the plan deterministic)
-        pages.join(F.broadcast(dlq_keys), ["url", "warc_ts"], "left_semi")
+        pages.join(keys, ["url", "warc_ts"], "left_semi")
         .withColumn("partition_id",
                     bucket_col(manifest["salt"], manifest["n_buckets"]))
     )

@@ -63,9 +63,12 @@ def stratified_sample(df: DataFrame, *, key_col: str, strata_col: str,
     gate = F.lit(default_permille)
     for stratum, rate in sorted(rates.items()):
         gate = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(gate)
-    out = df.withColumn(bucket_out or "bucket", bucket)
-    kept = out.filter(F.col(bucket_out or "bucket") < gate)
-    return kept if bucket_out else kept.drop("bucket")
+    if bucket_out:
+        return df.withColumn(bucket_out, bucket).filter(
+            F.col(bucket_out) < gate)
+    # no output column requested: filter on the expression directly, so a
+    # pre-existing column named "bucket" on the input is never clobbered
+    return df.filter(bucket < gate)
 
 
 def per_group_cap(df: DataFrame, *, group_col: str, key_col: str,
@@ -85,8 +88,5 @@ def per_group_cap(df: DataFrame, *, group_col: str, key_col: str,
 
     h = hash_bucket(key_col, buckets=1 << 62, hash_fn=hash_fn)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (df.select(group_col, key_col)
-              .withColumn(rank_out, F.row_number().over(w))
-              .filter(F.col(rank_out) <= cap)
-              .select(key_col, group_col, F.col(rank_out).cast("long")
-                      .alias(rank_out)))
+    return (df.withColumn(rank_out, F.row_number().over(w).cast("long"))
+              .filter(F.col(rank_out) <= cap))

@@ -205,7 +205,9 @@ def dedup_stream(extracted_stream: DataFrame, *, text_col: str = "text",
     from pyspark.sql import functions as F
 
     ttl_ms = None if ttl is None else _duration_ms(ttl)
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    from .dedup import _norm_text  # ONE normalization for every fingerprint
+
+    norm = _norm_text(text_col)
     keyed = extracted_stream.select(
         F.xxhash64(norm).alias("content_key"),
         "url", "warc_ts", F.col(text_col).alias("text"))

@@ -100,3 +100,20 @@ def test_range_join_is_equi_join_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # hash/sort-merge EQUI join on (_k, _b); never BroadcastNestedLoop
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_null_payload_field_stays_with_matched_row(spark):
+    from webextract.relops import asof_join
+
+    # the matched (latest) right row has a NULL payload value; a per-column
+    # last(ignorenulls) would back-fill it from the OLDER row — the carried
+    # struct must keep the matched row's NULL
+    left = spark.createDataFrame([(1, 100, _ts(30))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts(10), 5.0), (12, 100, _ts(20), None)],
+        "event_id long, user_id long, ts timestamp, val double")
+    out = asof_join(left, right, key="user_id", left_ts="ts",
+                    right_payload=["event_id", "val"]).collect()[0]
+    assert out["asof_event_id"] == 12 and out["asof_ts"] == _ts(20)
+    assert out["asof_val"] is None   # NOT 5.0 from the older row
