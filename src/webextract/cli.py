@@ -49,7 +49,12 @@ def cmd_extract(args) -> int:
     orch = cfg.orchestrator if cfg else None
     ext = cfg.extractor if cfg else ExtractorConfig()
     spark = _spark(args, orch.max_partition_mb if orch else None)
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from .warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     stats = run_extraction(
         spark, pages, args.output_root, args.run_id,
         # None → inherit the run manifest on resume (or runner defaults)
@@ -116,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("extract", help="run the resumable extraction job")
     e.add_argument("--input", required=True)
+    e.add_argument("--input-format", choices=("parquet", "warc"),
+                   default="parquet",
+                   help="warc: read WARC(.gz) archives (webextract.warc)")
     e.add_argument("--output-root", required=True)
     e.add_argument("--run-id", required=True)
     e.add_argument("--config-dir", default=None)
