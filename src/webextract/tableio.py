@@ -115,3 +115,60 @@ class IcebergIO(TableIO):
 
     def exists(self, spark: SparkSession, table: str) -> bool:
         return spark.catalog.tableExists(self._name(table))
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(spark: SparkSession, path: str, *,
+                    target_mb: int = 128,
+                    min_files_to_compact: int = 4) -> dict:
+    """Rewrite a parquet directory's many small files into ~``target_mb``
+    files — the maintenance half of the north rule's "adaptive coalesce of
+    small HTML files".
+
+    Read-side adaptivity (AQE coalesce + ``maxPartitionBytes``) already
+    makes small files *queryable* at full speed, but every later consumer
+    re-pays listing + footer overhead; compaction pays it once. This is the
+    parquet-dir analog of Iceberg's ``rewrite_data_files`` action (which an
+    IcebergIO deployment should call instead — snapshot-safe, no reader
+    disruption). Plan: one scan → AQE-planned exchange-free coalesce to
+    ceil(bytes / target) output files → atomic-ish directory swap via
+    rename (single-writer maintenance window assumed, like any non-Iceberg
+    parquet rewrite).
+
+    Returns {files_before, files_after, bytes} (no-op dict when the
+    directory is already compact).
+    """
+    import math
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    files = [f for f in fs.listStatus(jpath)
+             if f.getPath().getName().endswith(".parquet")]
+    total = sum(f.getLen() for f in files)
+    if len(files) < min_files_to_compact:
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes": total, "compacted": False}
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    (df.coalesce(n_out).write.mode("overwrite").parquet(tmp))
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact: cannot stage {path}")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back
+        raise IOError(f"compact: cannot swap in {tmp}")
+    fs.delete(jold, True)
+    after = len([f for f in fs.listStatus(jpath)
+                 if f.getPath().getName().endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total, "compacted": True}
