@@ -154,9 +154,10 @@ def fingerprint(col: Column | str = "text") -> Column:
     The exact-dedup key at scale: group/join on this instead of shuffling
     full documents.
     """
+    from .dedup import _norm_text  # the ONE normalization for fingerprints
+
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
-    return F.xxhash64(norm)
+    return F.xxhash64(_norm_text(c))
 
 
 def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
@@ -380,3 +381,49 @@ def pii_redact_df(df: DataFrame, *, id_col: str = "doc_id",
                   rules: list[tuple[str, str, str]] | None = None) -> DataFrame:
     counts, red = pii_redact_columns(text_col, rules)
     return df.select(F.col(id_col), *counts, red.alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(df: DataFrame, *, group_col: str, key: Column | str,
+                 k: int = 64) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group (Bar-Yossef et al.):
+    keep the k smallest distinct hash values; if fewer than k exist the
+    count is exact, else estimate (k-1) / (kth_min / 2^60).
+
+    Why KMV here and not HyperLogLog: the sketch is a PURE function of the
+    hash — no randomized registers — so it is mergeable across partitions
+    AND bit-reproducible in any engine (q48's DuckDB oracle recomputes the
+    identical sketch; approx_count_distinct's HLL could never hash-match).
+    Plan shape: map-side partial dedup of (group, hash), then
+    WindowGroupLimit pre-trims every task to its local k smallest per group
+    before the exchange — the shuffle carries at most k x |groups| x tasks
+    hashes no matter the corpus size, which is the whole point of sketching.
+
+    Returns (group_col, n_exact, k_used, kth_min, est).
+    """
+    from .dedup import HASH_FNS
+
+    from pyspark.sql import Window
+
+    c = F.col(key) if isinstance(key, str) else key
+    fn, bits = HASH_FNS["md5_60"]
+    h = fn(c.cast("string"))
+    pairs = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.asc("h"))
+    kept = (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= k))
+    sk = kept.groupBy(group_col).agg(
+        F.max("h").alias("kth_min"), F.count("*").alias("k_used"))
+    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round((F.lit(float(k - 1)) * F.pow(F.lit(2.0), F.lit(60.0)))
+                / F.col("kth_min").cast("double"), 6))
+    return (sk.join(exact, group_col)
+              .select(group_col, "n_exact", "k_used", "kth_min",
+                      est.cast("double").alias("est")))

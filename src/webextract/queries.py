@@ -1060,6 +1060,50 @@ def q46(spark, sf_dir):
                   .select("doc_id", "term", "tf", "df", "score", "rk"))
 
 
+_KMV_K = 16
+
+_Q48_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT source, {_md5h_sql('text')} AS h FROM documents
+), kept AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM pairs
+), sk AS (
+  SELECT source, MAX(h) AS kth_min, COUNT(*) AS k_used
+  FROM kept WHERE rn <= {_KMV_K} GROUP BY source
+), exact AS (
+  SELECT source, COUNT(*) AS n_exact FROM pairs GROUP BY source
+)
+SELECT source, n_exact, k_used, kth_min,
+       CAST(CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND({_KMV_K - 1}.0 * pow(2.0, 60.0)
+                       / CAST(kth_min AS DOUBLE), 6) END AS DOUBLE) AS est
+FROM sk JOIN exact USING (source)
+"""
+
+
+@register(
+    "q48_kmv_distinct_sketch",
+    _Q48_SQL,
+    doc="KMV distinct-count SKETCH per source (analysis.kmv_distinct, "
+        "Bar-Yossef et al.): k smallest distinct content-hash values; "
+        "exact below k, (k-1)/(kth_min/2^60) above. Chosen over HLL "
+        "because the sketch is a pure function of the hash — mergeable "
+        "across partitions AND bit-reproducible in an independent engine "
+        "(approx_count_distinct's HLL registers could never hash-match). "
+        "WindowGroupLimit pre-trims each task to its local k per group "
+        "before the exchange: the shuffle carries at most k x |groups| x "
+        "tasks hashes at any corpus size. n_exact is computed alongside as "
+        "the oracle-visible ground truth.",
+)
+def q48(spark, sf_dir):
+    from .analysis import kmv_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    return kmv_distinct(d, group_col="source", key="text", k=_KMV_K)
+
+
 _RANGE_WIN_US = 3600 * 1_000_000
 
 _Q47_SQL = f"""

@@ -177,3 +177,24 @@ def test_per_group_cap_binds_and_deterministic(spark):
          for r in per_group_cap(d, group_col="source", key_col="doc_id",
                                 cap=10).collect()}
     assert {(r["source"], r["doc_id"]) for r in got} == b  # reproducible
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from webextract.analysis import kmv_distinct
+
+    rows = ([(i, "small") for i in range(10)] +          # 10 distinct < k
+            [(1000 + (i % 500), "big") for i in range(2000)])  # 500 distinct
+    d = spark.createDataFrame(rows, "key long, grp string")
+    got = {r["grp"]: r.asDict()
+           for r in kmv_distinct(d, group_col="grp", key="key",
+                                 k=64).collect()}
+    assert got["small"]["n_exact"] == 10
+    assert got["small"]["k_used"] == 10 and got["small"]["est"] == 10.0
+    assert got["big"]["n_exact"] == 500 and got["big"]["k_used"] == 64
+    # KMV with k=64: relative std err ~ 1/sqrt(k-2) ≈ 13%; assert 3 sigma
+    assert 300 < got["big"]["est"] < 750
