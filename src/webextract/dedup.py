@@ -438,3 +438,30 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
             break
         prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def best_copy(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "url", quality_col: str | None = None,
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """Curation-aware exact dedup: one canonical row per normalized-content
+    group, chosen by QUALITY (highest ``quality_col``, smallest id as the
+    tie-break) instead of plain min-id — "keep the best copy" when the same
+    document arrives from multiple crawls/sources at different fidelity.
+
+    Same scale shape as :func:`exact_duplicates` (one shuffle on the 8-byte
+    content hash), but the canonical choice is a ``max_by`` over the
+    (quality, -id) struct — an AGGREGATE with map-side partial combine, not
+    a per-group sort: each map task forwards one candidate per (hash) key.
+    """
+    fn, _ = HASH_FNS[hash_fn]
+    q = F.col(quality_col) if quality_col else F.length(_norm_text(text_col))
+    keyed = df.select(F.col(id_col).alias("id"), q.alias("q"),
+                      fn(_norm_text(text_col)).alias("text_hash"))
+    canon = keyed.groupBy("text_hash").agg(
+        F.max_by("id", F.struct(F.col("q"), (-F.col("id")).alias("nid")))
+         .alias("canonical_id"),
+        F.count("*").alias("group_size"))
+    return (keyed.join(canon, "text_hash")
+            .select(F.col("id").alias(id_col), "text_hash", "canonical_id",
+                    (F.col("id") == F.col("canonical_id")).cast("int")
+                    .alias("is_kept"), "group_size"))

@@ -1060,6 +1060,47 @@ def q46(spark, sf_dir):
                   .select("doc_id", "term", "tf", "df", "score", "rk"))
 
 
+_Q49_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {{h}} AS text_hash
+  FROM documents
+), canon AS (
+  SELECT text_hash, doc_id AS canonical_id
+  FROM (SELECT text_hash, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY text_hash
+                                  ORDER BY n_chars DESC, doc_id ASC) AS pick
+        FROM keyed)
+  WHERE pick = 1
+), sizes AS (
+  SELECT text_hash, COUNT(*) AS group_size FROM keyed GROUP BY text_hash
+)
+SELECT k.doc_id, k.text_hash, c.canonical_id,
+       CAST(k.doc_id = c.canonical_id AS INT) AS is_kept, s.group_size
+FROM keyed k JOIN canon c USING (text_hash) JOIN sizes s USING (text_hash)
+""".format(h=_MD5_60_SQL.format(x=_NORM_TEXT_SQL))
+
+
+@register(
+    "q49_best_copy_dedup",
+    _Q49_SQL,
+    doc="curation-aware exact dedup (dedup.best_copy): the canonical row "
+        "per content group is the HIGHEST-QUALITY copy (n_chars desc, id "
+        "tie-break), not min-id — keep-the-best-copy when the same doc "
+        "arrives from several crawls at different fidelity. Engine plan is "
+        "a max_by over the (quality, -id) struct: an aggregate with "
+        "map-side partial combine (one candidate per hash per task), NOT a "
+        "per-group sort; the oracle derives the same choice via a window, "
+        "proving result equivalence of the two formulations.",
+)
+def q49(spark, sf_dir):
+    from .dedup import best_copy
+
+    d = _t(spark, sf_dir, "documents")
+    return best_copy(d, text_col="text", id_col="doc_id",
+                     quality_col="n_chars", hash_fn="md5_60")
+
+
 _KMV_K = 16
 
 _Q48_SQL = f"""

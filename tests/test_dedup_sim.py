@@ -349,3 +349,20 @@ def test_minhash_signatures_have_single_id_exchange(spark):
     assert len(ex) == 1, ex
     assert "hashpartitioning(id#" in ex[0], ex[0]
     assert "shingle" not in ex[0], ex[0]
+
+
+def test_best_copy_keeps_highest_quality(spark):
+    from webextract.dedup import best_copy
+
+    d = spark.createDataFrame(
+        [(1, "same content here", 10), (2, "same  content\nhere", 30),
+         (3, "same content here", 30), (4, "unique", 5)],
+        "doc_id long, text string, q long")
+    got = {r["doc_id"]: r.asDict()
+           for r in best_copy(d, text_col="text", id_col="doc_id",
+                              quality_col="q").collect()}
+    # docs 1-3 normalize to the same content; 2 and 3 tie on q=30 → min id 2
+    assert got[1]["canonical_id"] == 2 and got[1]["is_kept"] == 0
+    assert got[2]["is_kept"] == 1 and got[3]["is_kept"] == 0
+    assert got[1]["group_size"] == 3
+    assert got[4]["is_kept"] == 1 and got[4]["group_size"] == 1
