@@ -1060,6 +1060,59 @@ def q46(spark, sf_dir):
                   .select("doc_id", "term", "tf", "df", "score", "rk"))
 
 
+@register(
+    "q50_regional_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: the 6-table star join (local-supplier revenue by "
+        "nation for one region + date window). The scale plan: region -> "
+        "nation -> supplier/customer are BROADCAST dims (Catalyst chains "
+        "the broadcasts; the region filter prunes the chain before it "
+        "touches a fact), lineitem |><| orders is the one real shuffle "
+        "join with the date filter PUSHED to the orders scan, and the "
+        "final aggregate is nation-cardinality. DECIMAL money arithmetic "
+        "for exact parity.",
+)
+def q50(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (F.broadcast(s)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1) - F.col("l_discount").cast(_DEC)))
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(dims),
+                   (F.col("l_suppkey") == F.col("s_suppkey"))
+                   & (F.col("c_nationkey") == F.col("s_nationkey")))
+             .groupBy("n_name")
+             .agg(F.sum(rev).cast("double").alias("revenue"),
+                  F.count("*").alias("n_items")))
+
+
 _Q49_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, n_chars,
