@@ -1061,6 +1061,50 @@ def q46(spark, sf_dir):
 
 
 @register(
+    "q51_hourly_gapfill",
+    """
+    WITH counts AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM counts GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans
+    )
+    SELECT g.user_id, g.hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           CAST(c.n IS NULL AS INT) AS is_gap
+    FROM grid g LEFT JOIN counts c USING (user_id, hour)
+    """,
+    doc="time-series RESAMPLE/gap-fill: dense per-user hourly grid between "
+        "each user's first and last event, missing hours zero-filled — the "
+        "densification step before any rolling/window computation on "
+        "activity series. Spark side generates the grid with sequence() + "
+        "explode (grid rows are born distributed, never collected); the "
+        "left join back to the sparse counts is key-partitioned. Exact "
+        "integer outputs keep the 105k-row result hash-stable.",
+)
+def q51(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    counts = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+               .agg(F.count("*").alias("n")))
+    spans = counts.groupBy("user_id").agg(F.min("hour").alias("h0"),
+                                          F.max("hour").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+         .alias("hour"))
+    return (grid.join(counts, ["user_id", "hour"], "left")
+                .select("user_id", "hour",
+                        F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                         .alias("n_events"),
+                        F.col("n").isNull().cast("int").alias("is_gap")))
+
+
+@register(
     "q50_regional_revenue",
     """
     SELECT n.n_name,
