@@ -1104,6 +1104,55 @@ def q51(spark, sf_dir):
                         F.col("n").isNull().cast("int").alias("is_gap")))
 
 
+_ROLL_H = 24
+
+_Q52_SQL = f"""
+WITH counts AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+  FROM counts GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+), dense AS (
+  SELECT g.user_id, g.hour, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c USING (user_id, hour)
+)
+SELECT user_id, hour,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_24h,
+       CAST(MAX(n) OVER w AS BIGINT) AS peak_hour_24h
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN {_ROLL_H - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q52_rolling_activity",
+    _Q52_SQL,
+    doc="bounded sliding frame over the gap-filled series: trailing-24h "
+        "event volume + peak hour per user (ROWS BETWEEN 23 PRECEDING AND "
+        "CURRENT ROW) — the rolling-aggregate shape gap-filling exists to "
+        "enable; a bounded frame is O(1) state per row in Spark's window "
+        "exec, and the grid means 'last 24 rows' IS 'last 24 hours'. "
+        "Integer sums keep the 105k-row result exact.",
+)
+def q52(spark, sf_dir):
+    from pyspark.sql import Window
+
+    dense = q51(spark, sf_dir).select(
+        "user_id", "hour", F.col("n_events").alias("n"))
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(-(_ROLL_H - 1), Window.currentRow))
+    return dense.select(
+        "user_id", "hour",
+        F.sum("n").over(w).cast("long").alias("n_24h"),
+        F.max("n").over(w).cast("long").alias("peak_hour_24h"))
+
+
 @register(
     "q50_regional_revenue",
     """
