@@ -1104,6 +1104,42 @@ def q51(spark, sf_dir):
                         F.col("n").isNull().cast("int").alias("is_gap")))
 
 
+@register(
+    "q53_salted_hot_key_join",
+    """
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(t.weight) AS weight
+    FROM events e
+    JOIN (SELECT 'click' AS event_type, 1 AS weight UNION ALL
+          SELECT 'view', 2 UNION ALL SELECT 'purchase', 5 UNION ALL
+          SELECT 'signup', 3 UNION ALL SELECT 'error', 0) t
+      ON e.event_type = t.event_type
+    GROUP BY e.event_type
+    """,
+    doc="hot-key join via SALTING (relops.salted_join): events join a "
+        "5-row type table — every type is a hot key, so the plain join "
+        "pins 5 reducers. The salted plan spreads each hot key over 16 "
+        "reducers by replicating the tiny right side 16x and joining on "
+        "(key, salt). The oracle is the PLAIN join + aggregate: like q33, "
+        "the query proves salting is result-invariant, not just faster. "
+        "DECIMAL partials keep the sum exact under any partitioning.",
+)
+def q53(spark, sf_dir):
+    from .relops import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    t = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3),
+         ("error", 0)], "event_type string, weight int")
+    j = salted_join(e, t, key="event_type", salt=16)
+    return (j.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast(_DEC)).cast("double")
+                   .alias("total_value"),
+                  F.max("weight").alias("weight")))
+
+
 _ROLL_H = 24
 
 _Q52_SQL = f"""

@@ -152,3 +152,28 @@ def range_join(left: DataFrame, right: DataFrame, *, key: str,
     return (lt.join(rt, ["_k", "_b"])
               .filter((gap >= 0) & (gap <= window_us))
               .drop("_k", "_b", "_lus", "_rus"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, *, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Hot-key (skew) equi-join: salt the heavy left side, REPLICATE the
+    light right side once per salt value, join on (key, salt).
+
+    A plain equi-join sends every row of a hot key to ONE reducer; salting
+    spreads the hot key's rows over ``salt`` reducers while the right side
+    (dimension/lookup — small per key, not necessarily small in total)
+    is replicated ``salt``x, which is the explicit trade: use when the
+    left is orders of magnitude heavier per hot key than the right. The
+    result is EXACTLY the plain join's (q53's oracle proves it) — salting
+    is plan surgery, not a semantics change. AQE's skew-join split is the
+    automatic alternative when its size stats see the skew; this is the
+    deterministic one for when you know the key distribution (domain-
+    clustered crawls — the same defense sparkjob's salted repartition
+    applies to extraction).
+    """
+    sl = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)))
+    sr = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                      F.lit(salt - 1).cast("long"))))
+    return sl.join(sr, [key, "_salt"], how).drop("_salt")

@@ -117,3 +117,23 @@ def test_asof_join_null_payload_field_stays_with_matched_row(spark):
                     right_payload=["event_id", "val"]).collect()[0]
     assert out["asof_event_id"] == 12 and out["asof_ts"] == _ts(20)
     assert out["asof_val"] is None   # NOT 5.0 from the older row
+
+
+def test_salted_join_equals_plain_join(spark):
+    from webextract.relops import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)],
+        "id long, k string")
+    right = spark.createDataFrame([("hot", 1), ("unmatched", 9)],
+                                  "k string, w int")
+    plain = {(r["id"], r["w"]) for r in
+             left.join(right, "k").select("id", "w").collect()}
+    salted = {(r["id"], r["w"]) for r in
+              salted_join(left, right, key="k", salt=8)
+              .select("id", "w").collect()}
+    assert salted == plain and len(plain) == 180
+    # left join keeps unmatched left rows exactly once
+    lj = salted_join(left, right, key="k", salt=8, how="left")
+    assert lj.count() == 200
+    assert lj.filter(F.col("w").isNull()).count() == 20
