@@ -427,3 +427,50 @@ def kmv_distinct(df: DataFrame, *, group_col: str, key: Column | str,
     return (sk.join(exact, group_col)
               .select(group_col, "n_exact", "k_used", "kth_min",
                       est.cast("double").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def count_min_estimates(df: DataFrame, *, key_col: str, probes: DataFrame,
+                        d: int = 4, w: int = 256) -> DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan):
+    d x w counter grid, counter[i][h_i(key) % w] += 1 per occurrence;
+    estimate(key) = min_i counter[i][h_i(key)] — an overestimate with error
+    <= 2N/w at confidence 1 - (1/2)^d.
+
+    The cardinality twin of :func:`kmv_distinct`: the sketch is a pure
+    function of the hash (seeded md5_60 per row), so an independent engine
+    rebuilds the identical grid and the identical estimates (q54's oracle
+    does) — impossible for randomized-register sketches. Use at scale for
+    frequency screens where the exact per-key group-by is the cost you're
+    avoiding: stop-gram discovery, hot-url detection; the grid is d*w longs
+    regardless of corpus size and merges by addition across partitions.
+
+    Plan: one explode of each key occurrence into its d grid cells (cells
+    are born distributed), one map-side-combined aggregate into <= d*w
+    rows, broadcast join to the probe keys.
+
+    ``probes``: a DataFrame with ``key_col`` — the keys to estimate.
+    Returns (key_col, est) with est = the CMS estimate (>= true count).
+    """
+    from .dedup import HASH_FNS
+
+    fn, _ = HASH_FNS["md5_60"]
+    c = F.col(key_col)
+    cells = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.pmod(fn(c, seed=i), F.lit(w)).alias("col"))
+        for i in range(d)])).alias("cell"))
+    grid = (cells.select("cell.i", "cell.col")
+                 .groupBy("i", "col").agg(F.count("*").alias("cnt")))
+    pc = F.col(key_col)
+    probe_cells = probes.select(key_col, F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.pmod(fn(pc, seed=i), F.lit(w)).alias("col"))
+        for i in range(d)])).alias("cell")).select(key_col, "cell.i", "cell.col")
+    return (probe_cells.join(F.broadcast(grid), ["i", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))

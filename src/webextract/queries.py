@@ -1104,6 +1104,65 @@ def q51(spark, sf_dir):
                         F.col("n").isNull().cast("int").alias("is_gap")))
 
 
+_CMS_D, _CMS_W, _CMS_PROBE = 4, 256, 10
+
+_Q54_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), toks2 AS (
+  SELECT term FROM toks WHERE length(term) > 0
+), exact AS (
+  SELECT term, COUNT(*) AS exact_n FROM toks2 GROUP BY term
+), probe AS (
+  SELECT term, exact_n FROM exact
+  ORDER BY exact_n DESC, term LIMIT {_CMS_PROBE}
+), rows_ AS (
+  SELECT unnest([{', '.join(str(i) for i in range(_CMS_D))}]) AS i
+), cells AS (
+  SELECT i, {_md5h_sql("term || '|' || i")} % {_CMS_W} AS col,
+         COUNT(*) AS cnt
+  FROM toks2 CROSS JOIN rows_ GROUP BY i, col
+), pc AS (
+  SELECT p.term, p.exact_n, r.i,
+         {_md5h_sql("p.term || '|' || r.i")} % {_CMS_W} AS col
+  FROM probe p CROSS JOIN rows_ r
+)
+SELECT pc.term, pc.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS est
+FROM pc JOIN cells c USING (i, col)
+GROUP BY pc.term, pc.exact_n
+"""
+
+
+@register(
+    "q54_cms_frequency_sketch",
+    _Q54_SQL,
+    doc="Count-Min frequency SKETCH (analysis.count_min_estimates, Cormode/"
+        "Muthukrishnan): 4x256 counter grid over every token occurrence; "
+        "estimate = min over rows of the key's counters (always >= truth, "
+        "error <= 2N/w w.h.p.). The frequency twin of the q48 KMV "
+        "cardinality sketch, same portability argument: seeded-md5 cells "
+        "make the grid AND the estimates bit-reproducible in DuckDB. The "
+        "grid is d*w longs at any corpus size and merges by addition; the "
+        "probe set here is the exact top-10 terms so the oracle also "
+        "witnesses est >= exact.",
+)
+def q54(spark, sf_dir):
+    from .analysis import count_min_estimates
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = (d.filter(F.length(t) > 0)
+             .select(F.explode(F.split(F.lower(t), r"\s+")).alias("term"))
+             .filter(F.length("term") > 0))
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
+    probe = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(_CMS_PROBE)
+    est = count_min_estimates(toks, key_col="term",
+                              probes=probe.select("term"),
+                              d=_CMS_D, w=_CMS_W)
+    return probe.join(est, "term").select("term", "exact_n", "est")
+
+
 @register(
     "q53_salted_hot_key_join",
     """

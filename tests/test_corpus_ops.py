@@ -198,3 +198,20 @@ def test_kmv_exact_below_k_and_estimate_above(spark):
     assert got["big"]["n_exact"] == 500 and got["big"]["k_used"] == 64
     # KMV with k=64: relative std err ~ 1/sqrt(k-2) ≈ 13%; assert 3 sigma
     assert 300 < got["big"]["est"] < 750
+
+
+def test_count_min_overestimates_and_is_exactish_for_heavy_keys(spark):
+    from webextract.analysis import count_min_estimates
+
+    rows = [("hot",)] * 500 + [(f"t{i}",) for i in range(200)]
+    d = spark.createDataFrame(rows, "term string")
+    probes = spark.createDataFrame(
+        [("hot",), ("t0",), ("absent",)], "term string")
+    got = {r["term"]: r["est"]
+           for r in count_min_estimates(d, key_col="term", probes=probes,
+                                        d=4, w=256).collect()}
+    # CMS never underestimates; with 700 items in 256 cells the heavy key
+    # collides with at most a few singletons
+    assert 500 <= got["hot"] <= 520
+    assert 1 <= got["t0"] <= 30
+    assert 0 <= got["absent"] <= 30  # absent key: only collision mass
