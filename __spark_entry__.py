@@ -398,6 +398,74 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q55 lands the corpus url column, synthesizes a MESSY variant of each url
+# with the SAME expression in both engines (uppercased scheme, tracking
+# params, fragments), and both canonicalize — checking urlnorm.canonical_url
+# byte-for-byte against an independent reimplementation
+_Q55_LAND = os.path.join(tempfile.gettempdir(), "webextract_q55_land")
+
+_Q55_MESSY_SQL = ("'HTTPS://' || substr(url, 9) || "
+                  "CASE WHEN length(url) % 2 = 0 "
+                  "THEN '?b=2&utm_source=x&a=1#f' ELSE '#frag' END")
+
+_Q55_ORACLE_SQL = f"""
+WITH landed AS (
+  SELECT url, {_Q55_MESSY_SQL} AS messy
+  FROM read_parquet('{_Q55_LAND}/urls/*.parquet')
+), parts AS (
+  SELECT url, messy,
+    lower(regexp_extract(messy, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+    lower(regexp_extract(messy,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(messy,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(messy, '\\?([^#]*)', 1) AS q
+  FROM landed
+), norm AS (
+  SELECT url, messy, sch,
+    CASE WHEN sch = 'http' AND host0 LIKE '%:80'
+           THEN regexp_replace(host0, ':80$', '')
+         WHEN sch = 'https' AND host0 LIKE '%:443'
+           THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    CASE WHEN length(path0) = 0 THEN '/' ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+           AND NOT starts_with(p, 'fbclid')
+           AND NOT starts_with(p, 'gclid'))), '&') AS qs
+  FROM parts
+)
+SELECT url, messy,
+       sch || '://' || host || path ||
+       CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END AS canonical_url
+FROM norm
+"""
+
+
+def _q_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (webextract.urlnorm.canonical_url) over landed
+    corpus urls, messied identically in both engines — the crawl-identity
+    key normalization, oracle-checked byte-for-byte."""
+    import shutil
+
+    from webextract.urlnorm import canonical_url
+
+    _ship_package(spark)
+    n = max(60, min(800, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    pages, _ = _corpus_df(spark, n)
+    shutil.rmtree(_Q55_LAND, ignore_errors=True)
+    (pages.select("url").distinct()
+          .write.mode("overwrite").parquet(os.path.join(_Q55_LAND, "urls")))
+    landed = spark.read.parquet(os.path.join(_Q55_LAND, "urls"))
+    messy = F.concat(
+        F.lit("HTTPS://"), F.expr("substr(url, 9)"),
+        F.when(F.length("url") % 2 == 0,
+               F.lit("?b=2&utm_source=x&a=1#f")).otherwise(F.lit("#frag")))
+    return landed.select(
+        "url", messy.alias("messy"),
+        canonical_url(messy).alias("canonical_url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from webextract import queries as q
 
@@ -409,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q94_resume_metrics"] = _q_resume_metrics
     out["q95_stream_dedup"] = _q_stream_dedup
     out["q36_media_type_profile"] = _q_media_type_profile
+    out["q55_url_canonicalization"] = _q_url_canonicalization
     return out
 
 
@@ -418,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(q.oracle_sql())
     out["q91_extract_eval_rollup"] = _Q91_ORACLE_SQL
     out["q36_media_type_profile"] = _Q36_ORACLE_SQL
+    out["q55_url_canonicalization"] = _Q55_ORACLE_SQL
     out["q93_stream_extract"] = _Q93_ORACLE_SQL
     out["q94_resume_metrics"] = _Q94_ORACLE_SQL
     out["q95_stream_dedup"] = _Q95_ORACLE_SQL
