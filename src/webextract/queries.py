@@ -1104,6 +1104,68 @@ def q51(spark, sf_dir):
                         F.col("n").isNull().cast("int").alias("is_gap")))
 
 
+_Q56_HASH = _MD5_60_SQL.format(x=_NORM_TEXT_SQL)
+
+_Q56_SQL = f"""
+WITH snap_a AS (
+  SELECT doc_id, {_Q56_HASH} AS h FROM documents WHERE doc_id % 4 != 0
+), snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN {_MD5_60_SQL.format(
+                  x=_NORM_TEXT_SQL + " || ' rev2'")}
+              ELSE {_Q56_HASH} END AS h
+  FROM documents WHERE doc_id % 4 != 1
+), d AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'deleted'
+              WHEN a.h != b.h THEN 'changed'
+              ELSE 'unchanged' END AS change_status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT change_status, COUNT(*) AS n,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM d GROUP BY change_status
+"""
+
+
+@register(
+    "q56_crawl_diff",
+    _Q56_SQL,
+    doc="crawl-snapshot DIFF: FULL OUTER join of two crawl states on the "
+        "doc key, change classified by content-hash comparison (added / "
+        "deleted / changed / unchanged) — the incremental-crawl accounting "
+        "op (what to re-extract, what to tombstone). The join carries only "
+        "(8-byte id, 8-byte content hash) per side at any corpus size; "
+        "snapshot B's changed docs are synthesized with the same "
+        "expression in both engines.",
+)
+def q56(spark, sf_dir):
+    from .dedup import HASH_FNS, _norm_text
+
+    fn, _ = HASH_FNS["md5_60"]
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm_text("text")
+    a = (d.filter(F.col("doc_id") % 4 != 0)
+          .select("doc_id", fn(norm).alias("ha")))
+    b = (d.filter(F.col("doc_id") % 4 != 1)
+          .select("doc_id",
+                  F.when(F.col("doc_id") % 5 == 0,
+                         fn(F.concat(norm, F.lit(" rev2"))))
+                   .otherwise(fn(norm)).alias("hb")))
+    j = a.join(b, "doc_id", "full")
+    status = (F.when(F.col("ha").isNull(), "added")
+               .when(F.col("hb").isNull(), "deleted")
+               .when(F.col("ha") != F.col("hb"), "changed")
+               .otherwise("unchanged"))
+    return (j.select("doc_id", status.alias("change_status"))
+             .groupBy("change_status")
+             .agg(F.count("*").alias("n"),
+                  F.min("doc_id").alias("first_doc"),
+                  F.max("doc_id").alias("last_doc")))
+
+
 _CMS_D, _CMS_W, _CMS_PROBE = 4, 256, 10
 
 _Q54_SQL = f"""
