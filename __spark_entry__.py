@@ -419,7 +419,7 @@ WITH landed AS (
           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
     regexp_extract(messy,
           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    regexp_extract(messy, '\\?([^#]*)', 1) AS q
+    regexp_extract(regexp_replace(messy, '#.*', ''), '\\?([^#]*)', 1) AS q
   FROM landed
 ), norm AS (
   SELECT url, messy, sch,

@@ -389,7 +389,7 @@ def pii_redact_df(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def kmv_distinct(df: DataFrame, *, group_col: str, key: Column | str,
-                 k: int = 64) -> DataFrame:
+                 k: int = 64, include_exact: bool = False) -> DataFrame:
     """K-Minimum-Values distinct-count sketch per group (Bar-Yossef et al.):
     keep the k smallest distinct hash values; if fewer than k exist the
     count is exact, else estimate (k-1) / (kth_min / 2^60).
@@ -403,7 +403,11 @@ def kmv_distinct(df: DataFrame, *, group_col: str, key: Column | str,
     before the exchange — the shuffle carries at most k x |groups| x tasks
     hashes no matter the corpus size, which is the whole point of sketching.
 
-    Returns (group_col, n_exact, k_used, kth_min, est).
+    Returns (group_col, k_used, kth_min, est); ``include_exact=True`` adds
+    ``n_exact`` — the full distinct count, which costs the very shuffle
+    the sketch avoids (every distinct (group, hash) pair moves). It exists
+    for verification (the q48 oracle compares estimate vs truth);
+    production callers keep the default sketch-only plan.
     """
     from .dedup import HASH_FNS
 
@@ -418,12 +422,15 @@ def kmv_distinct(df: DataFrame, *, group_col: str, key: Column | str,
                  .filter(F.col("rn") <= k))
     sk = kept.groupBy(group_col).agg(
         F.max("h").alias("kth_min"), F.count("*").alias("k_used"))
-    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     est = F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")
     ).otherwise(
         F.round((F.lit(float(k - 1)) * F.pow(F.lit(2.0), F.lit(60.0)))
                 / F.col("kth_min").cast("double"), 6))
+    if not include_exact:
+        return sk.select(group_col, "k_used", "kth_min",
+                         est.cast("double").alias("est"))
+    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     return (sk.join(exact, group_col)
               .select(group_col, "n_exact", "k_used", "kth_min",
                       est.cast("double").alias("est")))

@@ -449,16 +449,19 @@ def best_copy(df: DataFrame, *, text_col: str = "text",
     document arrives from multiple crawls/sources at different fidelity.
 
     Same scale shape as :func:`exact_duplicates` (one shuffle on the 8-byte
-    content hash), but the canonical choice is a ``max_by`` over the
-    (quality, -id) struct — an AGGREGATE with map-side partial combine, not
+    content hash), but the canonical choice is a ``min_by`` over the
+    (-quality, id) struct — an AGGREGATE with map-side partial combine, not
     a per-group sort: each map task forwards one candidate per (hash) key.
+    ``quality_col`` must be numeric (it is negated for the ordering); the
+    id may be ANY orderable type — string urls included (negating the id
+    instead would ANSI-crash on strings).
     """
     fn, _ = HASH_FNS[hash_fn]
     q = F.col(quality_col) if quality_col else F.length(_norm_text(text_col))
     keyed = df.select(F.col(id_col).alias("id"), q.alias("q"),
                       fn(_norm_text(text_col)).alias("text_hash"))
     canon = keyed.groupBy("text_hash").agg(
-        F.max_by("id", F.struct(F.col("q"), (-F.col("id")).alias("nid")))
+        F.min_by("id", F.struct((-F.col("q")).alias("nq"), F.col("id")))
          .alias("canonical_id"),
         F.count("*").alias("group_size"))
     return (keyed.join(canon, "text_hash")

@@ -1147,16 +1147,19 @@ def q56(spark, sf_dir):
     fn, _ = HASH_FNS["md5_60"]
     d = _t(spark, sf_dir, "documents")
     norm = _norm_text("text")
+    # presence flags, NOT hash nullness: a NULL-text doc present in both
+    # snapshots must classify by PRESENCE (hash is NULL on both sides)
     a = (d.filter(F.col("doc_id") % 4 != 0)
-          .select("doc_id", fn(norm).alias("ha")))
+          .select("doc_id", fn(norm).alias("ha"), F.lit(1).alias("ina")))
     b = (d.filter(F.col("doc_id") % 4 != 1)
           .select("doc_id",
                   F.when(F.col("doc_id") % 5 == 0,
                          fn(F.concat(norm, F.lit(" rev2"))))
-                   .otherwise(fn(norm)).alias("hb")))
+                   .otherwise(fn(norm)).alias("hb"),
+                  F.lit(1).alias("inb")))
     j = a.join(b, "doc_id", "full")
-    status = (F.when(F.col("ha").isNull(), "added")
-               .when(F.col("hb").isNull(), "deleted")
+    status = (F.when(F.col("ina").isNull(), "added")
+               .when(F.col("inb").isNull(), "deleted")
                .when(F.col("ha") != F.col("hb"), "changed")
                .otherwise("unchanged"))
     return (j.select("doc_id", status.alias("change_status"))
@@ -1445,7 +1448,8 @@ def q48(spark, sf_dir):
     from .analysis import kmv_distinct
 
     d = _t(spark, sf_dir, "documents")
-    return kmv_distinct(d, group_col="source", key="text", k=_KMV_K)
+    return kmv_distinct(d, group_col="source", key="text", k=_KMV_K,
+                        include_exact=True)  # oracle checks est vs truth
 
 
 _RANGE_WIN_US = 3600 * 1_000_000

@@ -171,6 +171,11 @@ def salted_join(left: DataFrame, right: DataFrame, *, key: str,
     clustered crawls — the same defense sparkjob's salted repartition
     applies to extraction).
     """
+    if how.replace("outer", "").strip("_") in ("right", "full"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer are not salt-"
+            "invariant — an unmatched right row would surface once per salt "
+            "value. Use the plain join for those, or swap the sides.")
     sl = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)))
     sr = right.withColumn(

@@ -148,6 +148,16 @@ def compact_parquet(spark: SparkSession, path: str, *,
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
+    # crash recovery: a previous compaction killed between its two renames
+    # leaves the data parked at ._compact_old and nothing at `path` —
+    # restore it before anything else (and clear any stale tmp)
+    jold0 = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    jtmp0 = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_tmp")
+    if fs.exists(jold0) and not fs.exists(jpath):
+        if not fs.rename(jold0, jpath):
+            raise IOError(
+                f"compact: orphaned {path}._compact_old cannot be restored")
+    fs.delete(jtmp0, True)
     files = [f for f in fs.listStatus(jpath)
              if f.getPath().getName().endswith(".parquet")]
     total = sum(f.getLen() for f in files)
@@ -158,14 +168,20 @@ def compact_parquet(spark: SparkSession, path: str, *,
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
-    (df.coalesce(n_out).write.mode("overwrite").parquet(tmp))
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     jold = jvm.org.apache.hadoop.fs.Path(old)
+    (df.coalesce(n_out).write.mode("overwrite").parquet(tmp))
     fs.delete(jold, True)
     if not fs.rename(jpath, jold):
+        fs.delete(jtmp, True)
         raise IOError(f"compact: cannot stage {path}")
-    if not fs.rename(jtmp, jpath):
+    try:
+        swapped = fs.rename(jtmp, jpath)
+    except Exception:
+        swapped = False
+    if not swapped:
         fs.rename(jold, jpath)  # roll back
+        fs.delete(jtmp, True)
         raise IOError(f"compact: cannot swap in {tmp}")
     fs.delete(jold, True)
     after = len([f for f in fs.listStatus(jpath)

@@ -40,7 +40,9 @@ def canonical_url(col: Column | str = "url") -> Column:
             .otherwise(host)
     path = F.regexp_extract(u, _PATH_RE, 1)
     path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
-    q = F.regexp_extract(u, _QUERY_RE, 1)
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment must not be promoted into the canonical query string
+    q = F.regexp_extract(F.regexp_replace(u, "#.*", ""), _QUERY_RE, 1)
     keep = F.filter(
         F.split(q, "&"),
         lambda p: (F.length(p) > 0)

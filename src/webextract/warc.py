@@ -15,9 +15,13 @@ Scale notes:
   salted url-hash repartition exists (BENCH/SKEW.md): re-key the parsed
   rows before extraction so a giant or domain-clustered archive cannot
   skew downstream stages.
-- Parsing is streaming per archive (one record in memory at a time, via
-  gzip's transparent concatenated-member decoding) — executor memory is
-  bounded by the largest record, not the archive.
+- Memory per task: ``binaryFile`` materializes the WHOLE archive's raw
+  bytes in the input row (and caps files at 2 GB) — that allocation is
+  inherent to the source, so size executors for raw-archive + one parsed
+  batch. The parse itself is bounded: records stream out of gzip's
+  concatenated-member reader and are emitted in 256-row Arrow batches,
+  never the whole decompressed archive at once. For multi-GB archives,
+  split upstream or register a custom streaming datasource.
 - ``binaryFile`` carries (path, length, content); predicate pushdown on
   pathGlobFilter prunes archives before any byte is read.
 
@@ -119,10 +123,13 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[str, datetime, bytes]]:
         if headers.get(b"warc-type") == b"response":
             url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
             ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
-            try:
-                ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
-            except ValueError:
-                ts = datetime(1970, 1, 1)
+            ts = datetime(1970, 1, 1)
+            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+                try:
+                    ts = datetime.strptime(ts_raw, fmt)
+                    break
+                except ValueError:
+                    continue
             # strip the stored HTTP response header block if present
             html = payload
             if payload[:5] in (b"HTTP/",):
@@ -148,14 +155,18 @@ def read_warc(spark: SparkSession, path: str, *,
              .load(path)
              .select("content"))
 
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for raw in pdf["content"]:
-                rows = [(u, ts, bytes(h), None, None)
-                        for u, ts, h in iter_warc_records(bytes(raw))]
+                rows = []
+                for u, ts, h in iter_warc_records(bytes(raw)):
+                    rows.append((u, ts, bytes(h), None, None))
+                    if len(rows) >= 256:  # bound resident parsed rows
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["url", "warc_ts", "html",
-                                       "text", "lang"])
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)

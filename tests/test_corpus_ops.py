@@ -191,8 +191,8 @@ def test_kmv_exact_below_k_and_estimate_above(spark):
             [(1000 + (i % 500), "big") for i in range(2000)])  # 500 distinct
     d = spark.createDataFrame(rows, "key long, grp string")
     got = {r["grp"]: r.asDict()
-           for r in kmv_distinct(d, group_col="grp", key="key",
-                                 k=64).collect()}
+           for r in kmv_distinct(d, group_col="grp", key="key", k=64,
+                                 include_exact=True).collect()}
     assert got["small"]["n_exact"] == 10
     assert got["small"]["k_used"] == 10 and got["small"]["est"] == 10.0
     assert got["big"]["n_exact"] == 500 and got["big"]["k_used"] == 64
@@ -215,3 +215,16 @@ def test_count_min_overestimates_and_is_exactish_for_heavy_keys(spark):
     assert 500 <= got["hot"] <= 520
     assert 1 <= got["t0"] <= 30
     assert 0 <= got["absent"] <= 30  # absent key: only collision mass
+
+
+def test_kmv_sketch_only_plan_has_no_exact_branch(spark):
+    from webextract.analysis import kmv_distinct
+
+    d = spark.createDataFrame([(i, "g") for i in range(100)],
+                              "key long, grp string")
+    out = kmv_distinct(d, group_col="grp", key="key", k=8)
+    assert "n_exact" not in out.columns
+    # sketch-only: one distinct agg + WindowGroupLimit topk + final agg;
+    # no join back to a full distinct count
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

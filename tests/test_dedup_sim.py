@@ -366,3 +366,20 @@ def test_best_copy_keeps_highest_quality(spark):
     assert got[2]["is_kept"] == 1 and got[3]["is_kept"] == 0
     assert got[1]["group_size"] == 3
     assert got[4]["is_kept"] == 1 and got[4]["group_size"] == 1
+
+
+def test_best_copy_string_ids(spark):
+    # string ids must work (no numeric negation of the id in the tie-break)
+    from webextract.dedup import best_copy
+
+    d = spark.createDataFrame(
+        [("http://a/x", "same thing", 5), ("http://a/y", "same thing", 9),
+         ("http://a/z", "same thing", 9)],
+        "url string, text string, q long")
+    got = {r["url"]: r.asDict()
+           for r in best_copy(d, text_col="text", id_col="url",
+                              quality_col="q").collect()}
+    # q=9 tie between /y and /z → lexicographically smallest id wins
+    assert got["http://a/x"]["canonical_id"] == "http://a/y"
+    assert got["http://a/y"]["is_kept"] == 1
+    assert got["http://a/z"]["is_kept"] == 0

@@ -137,3 +137,15 @@ def test_salted_join_equals_plain_join(spark):
     lj = salted_join(left, right, key="k", salt=8, how="left")
     assert lj.count() == 200
     assert lj.filter(F.col("w").isNull()).count() == 20
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    from webextract.relops import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "id long, k string")
+    right = spark.createDataFrame([("a", 1)], "k string, w int")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salt"):
+            salted_join(left, right, key="k", how=how)

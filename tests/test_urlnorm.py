@@ -29,3 +29,13 @@ def test_canonical_is_idempotent(spark):
         "canonical_url").withColumnRenamed("canonical_url", "url")
     twice = [r["canonical_url"] for r in canonical_url_df(once).collect()]
     assert twice == [w for _, w in CASES]
+
+
+def test_fragment_query_not_promoted(spark):
+    # a '?' INSIDE the fragment must not become a canonical query string
+    df = spark.createDataFrame([("http://ex.org/p#frag?x=1",),
+                                ("http://ex.org/p",)], "url string")
+    got = {r["url"]: r["canonical_url"]
+           for r in canonical_url_df(df).collect()}
+    assert got["http://ex.org/p#frag?x=1"] == "http://ex.org/p"
+    assert got["http://ex.org/p"] == "http://ex.org/p"

@@ -65,3 +65,18 @@ def test_read_warc_to_extraction_byte_identity(spark, tmp_path):
                     | F.col("w.text").isNull() | F.col("d.text").isNull())
             .count())
     assert diff == 0 and ok_w.count() == ok_d.count()
+
+
+def test_fractional_second_warc_date(tmp_path):
+    # WARC/1.1 tools emit fractional seconds; they must parse, not collapse
+    # to the epoch fallback
+    p = str(tmp_path / "f.warc")
+    write_warc(p, _records(1))
+    raw = open(p, "rb").read().replace(
+        b"WARC-Date: 2025-01-01T12:00:00Z",
+        b"WARC-Date: 2025-01-01T12:00:00.123456Z")
+    assert raw.count(b".123456Z") == 1
+    # adjust the header Content-Length? WARC-Date is a header line, not
+    # payload — lengths are unaffected
+    got = list(iter_warc_records(raw))
+    assert got[0][1] == dt.datetime(2025, 1, 1, 12, 0, 0, 123456)
