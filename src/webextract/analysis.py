@@ -213,7 +213,7 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
 def quality_filter_columns(text_col: str = "text", *,
                            min_tokens: int = 5, max_tokens: int = 100_000,
                            min_mwl: int = 2, max_mwl: int = 12,
-                           stop_ratio_denom: int = 50,
+                           stop_ratio_denom: int | None = 50,
                            stopwords: list[str] | None = None
                            ) -> tuple[Column, Column, Column, Column]:
     """(n_tokens, n_nonspace_chars, stopword_hits, keep) — the Gopher-rule
@@ -221,7 +221,11 @@ def quality_filter_columns(text_col: str = "text", *,
 
     - token count within [min_tokens, max_tokens];
     - mean word length (non-space chars / tokens) within [min_mwl, max_mwl];
-    - stopword ratio >= 1/stop_ratio_denom (gibberish/listing guard).
+    - stopword ratio >= 1/stop_ratio_denom (gibberish/listing guard);
+      pass ``stop_ratio_denom=None`` to drop this condition — it presumes
+      the stopword list's language, so multilingual corpora either route
+      per-language lists or disable it (webextract.pipeline.curate's
+      default corpus is multilingual and disables it).
 
     Every threshold is evaluated with INTEGER cross-multiplication
     (``min_mwl * n_tokens <= n_nonspace`` etc.), so the keep decision is
@@ -235,8 +239,9 @@ def quality_filter_columns(text_col: str = "text", *,
     keep = (
         (ntok >= min_tokens) & (ntok <= max_tokens)
         & (F.lit(min_mwl) * ntok <= nchar) & (nchar <= F.lit(max_mwl) * ntok)
-        & (hits * stop_ratio_denom >= ntok)
     )
+    if stop_ratio_denom is not None:
+        keep = keep & (hits * stop_ratio_denom >= ntok)
     return ntok, nchar, hits, keep.cast("int")
 
 

@@ -406,6 +406,9 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
 
     Returns ``(id, cluster_id)`` for every vertex (singletons map to
     themselves when ``vertices`` is given; otherwise only endpoints).
+    Ids must be NUMERIC (they are cast to long; the exact decimal label-sum
+    convergence check depends on it) — key string ids by ``xxhash64`` first
+    (webextract.pipeline.curate does).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -1,0 +1,116 @@
+"""The composed training-data curation pipeline: the end-to-end recipe a
+user of the engine actually runs over a crawl, assembled from the operator
+library — every stage is the library call, not a reimplementation.
+
+    pages ──extract──► extracted(ok)
+          ──quality gate──► q-kept           (analysis.quality_filter_columns)
+          ──repetition gate──► r-kept        (analysis.repetition_columns)
+          ──PII scrub──► scrubbed            (analysis.pii_redact_columns)
+          ──exact dedup──► canonical only    (dedup.best_copy)
+          ──near-dup clusters──► one per cluster
+                                             (dedup.minhash_lsh_pairs +
+                                              dedup.connected_components)
+          ──stratified sample──► final mix   (sampling.stratified_sample)
+
+Scale shape: the three gates and the scrub FUSE into the projection over
+the extraction output (single stage); exact dedup shuffles once on the
+8-byte content hash; the near-dup stage is banded LSH + Hash-Min label
+propagation (pair-linear, never quadratic); the sample is a zero-shuffle
+hash gate. A stage report (rows in/out per stage) is returned alongside
+the result so pipeline runs are auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
+           default_permille: int = 1000, dedup_hash: str = "xxhash64",
+           near_dup: bool = True, quality: dict | None = None,
+           text_col: str = "text", id_col: str = "url",
+           lang_col: str = "lang") -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation recipe over EXTRACTED rows (status == 'ok').
+
+    Returns (curated DataFrame, per-stage row counts). The counts force one
+    action per stage boundary — acceptable for an auditable batch recipe
+    (each is a cheap count over the running result; drop the report and
+    the whole pipeline is one lazy plan).
+    """
+    from .analysis import (pii_redact_columns, quality_filter_columns,
+                           repetition_columns)
+    from .dedup import best_copy, connected_components, minhash_lsh_pairs
+    from .sampling import stratified_sample
+
+    from pyspark.sql import Window
+
+    report: dict[str, int] = {}
+    ok = pages.filter(F.col("status") == "ok") if "status" in pages.columns \
+        else pages
+    report["input"] = ok.count()
+
+    # --- recrawl resolution: latest successful crawl per url -------------
+    # recrawls REPEAT the id (same url, new warc_ts) — every downstream
+    # id-keyed step assumes id uniqueness, so resolve first (q04's shape:
+    # row_number over (id ORDER BY ts desc))
+    if "warc_ts" in ok.columns:
+        w = Window.partitionBy(id_col).orderBy(F.desc("warc_ts"))
+        ok = (ok.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        report["after_latest_crawl"] = ok.count()
+
+    # --- gates + scrub: one fused projection over the scan ---------------
+    # stopword-ratio gate OFF by default: it presumes one language's
+    # stopword list; multilingual corpora route per-language lists or
+    # disable it (override via quality={"stop_ratio_denom": 50, ...})
+    qkw: dict = {"stop_ratio_denom": None}
+    qkw.update(quality or {})
+    _, _, _, q_keep = quality_filter_columns(text_col, **qkw)
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+    gated = ok.withColumn("_t", toks)
+    _, r_keep = repetition_columns("_t")
+    _, red = pii_redact_columns(text_col)
+    gated = (gated.filter(q_keep.cast("boolean"))
+                  .filter(r_keep.cast("boolean"))
+                  .withColumn(text_col, red).drop("_t"))
+    report["after_gates"] = gated.count()
+
+    # --- exact dedup: keep the best copy per content group ---------------
+    kept = best_copy(gated, text_col=text_col, id_col=id_col,
+                     hash_fn=dedup_hash)
+    survivors = (gated.join(kept.filter(F.col("is_kept") == 1)
+                            .select(id_col), id_col, "left_semi"))
+    report["after_exact_dedup"] = survivors.count()
+
+    # --- near-dup clusters: one doc per MinHash-LSH component ------------
+    if near_dup:
+        # connected_components labels are numeric; string ids (urls) are
+        # keyed by xxhash64 (deterministic; a 2^-64 collision would merely
+        # merge two clusters) and survivors re-selected by representative
+        pairs = minhash_lsh_pairs(survivors, text_col=text_col,
+                                  id_col=id_col, n=2, hash_fn=dedup_hash)
+        hpairs = pairs.select(F.xxhash64("id_a").alias("id_a"),
+                              F.xxhash64("id_b").alias("id_b"))
+        if hpairs.limit(1).count() > 0:
+            cc = connected_components(
+                hpairs,
+                vertices=survivors.select(
+                    F.xxhash64(F.col(id_col)).alias("hid")),
+                id_col="hid")
+            reps = (cc.filter(F.col("id") == F.col("cluster_id"))
+                      .select(F.col("id").alias("hid")))
+            survivors = survivors.join(
+                reps, F.xxhash64(F.col(id_col)) == F.col("hid"),
+                "left_semi")
+        report["after_near_dedup"] = survivors.count()
+
+    # --- language-stratified sample --------------------------------------
+    if lang_rates:
+        survivors = stratified_sample(
+            survivors, key_col=id_col, strata_col=lang_col,
+            rates=lang_rates, default_permille=default_permille,
+            bucket_out=None)
+    report["final"] = survivors.count()
+    return survivors, report
