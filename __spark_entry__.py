@@ -430,9 +430,10 @@ WITH landed AS (
          ELSE host0 END AS host,
     CASE WHEN length(path0) = 0 THEN '/' ELSE path0 END AS path,
     array_to_string(list_sort(list_filter(string_split(q, '&'),
-      p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
-           AND NOT starts_with(p, 'fbclid')
-           AND NOT starts_with(p, 'gclid'))), '&') AS qs
+      p -> length(p) > 0
+           AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+           AND lower(split_part(p, '=', 1)) NOT IN ('fbclid', 'gclid'))),
+      '&') AS qs
   FROM parts
 )
 SELECT url, messy,

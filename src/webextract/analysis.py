@@ -28,27 +28,43 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
-def stopword_hits(col: Column | str, word: str) -> Column:
-    """Occurrences of ``word`` as a whitespace-delimited token (lowercased).
-
-    replace-length arithmetic: leftmost non-overlapping, exact integers.
-    Whitespace runs are normalized to single spaces FIRST — extracted text
-    is '\\n\\n'-block-joined (textnorm.BLOCK_JOINER), and without the
-    normalization every stopword adjacent to a block boundary would score
-    zero while still counting as a token, skewing quality ratios low.
+def _norm_padded(col: Column | str) -> Column:
+    """Lowercased, whitespace-run-normalized, space-padded text — the shared
+    base every stopword counts against. Whitespace runs become single spaces
+    because extracted text is '\\n\\n'-block-joined (textnorm.BLOCK_JOINER):
+    without it every stopword adjacent to a block boundary would score zero
+    while still counting as a token, skewing quality ratios low.
     """
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
-    pad = F.concat(F.lit(" "), norm, F.lit(" "))
+    return F.concat(F.lit(" "),
+                    F.regexp_replace(F.lower(c), r"\s+", " "), F.lit(" "))
+
+
+def _hits_on_padded(pad: Column, word: str) -> Column:
+    """replace-length arithmetic: leftmost non-overlapping, exact integers."""
     pat = f" {word} "
     return ((F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(""))))
             / F.lit(len(pat))).cast("long")
 
 
+def stopword_hits(col: Column | str, word: str) -> Column:
+    """Occurrences of ``word`` as a whitespace-delimited token (lowercased)."""
+    return _hits_on_padded(_norm_padded(col), word)
+
+
 def stopword_hits_any(col: Column | str, words: list[str]) -> Column:
-    out = stopword_hits(col, words[0])
+    """Total hits over ``words``, normalizing the text ONCE.
+
+    Every term references the SAME padded-normalization expression tree, so
+    whole-stage codegen's subexpression elimination evaluates the regexp
+    normalization once per row instead of once per word (langid computes 4
+    languages x 5 words against one text column — 20x otherwise; measured
+    3x on q12 at sf0.1).
+    """
+    pad = _norm_padded(col)
+    out = _hits_on_padded(pad, words[0])
     for w in words[1:]:
-        out = out + stopword_hits(col, w)
+        out = out + _hits_on_padded(pad, w)
     return out
 
 

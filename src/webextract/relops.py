@@ -171,7 +171,11 @@ def salted_join(left: DataFrame, right: DataFrame, *, key: str,
     clustered crawls — the same defense sparkjob's salted repartition
     applies to extraction).
     """
-    if how.replace("outer", "").strip("_") in ("right", "full"):
+    # normalize ("full_outer" → "fullouter") and reject EXPLICITLY: bare
+    # "outer" is Spark's alias for FULL outer, and the old suffix-stripping
+    # check let it through (unmatched right rows would emit once per salt)
+    if how.lower().replace("_", "") in (
+            "outer", "full", "fullouter", "right", "rightouter"):
         raise ValueError(
             f"salted_join(how={how!r}): right/full outer are not salt-"
             "invariant — an unmatched right row would surface once per salt "

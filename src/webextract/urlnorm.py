@@ -19,8 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: query params that never change the resource (tracking/attribution)
-TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+#: query-param NAMES that never change the resource (tracking/attribution):
+#: utm_* by prefix, fbclid/gclid exactly — matched against the name (the part
+#: before '='), case-insensitively. A raw prefix match on "name=value" would
+#: strip legitimate params like "gclid_custom=1" and keep "UTM_SOURCE=x".
+TRACKING_NAME_PREFIXES = ("utm_",)
+TRACKING_NAMES = ("fbclid", "gclid")
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*):\/\/"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:\/\/([^\/?#]*)"
@@ -43,10 +47,15 @@ def canonical_url(col: Column | str = "url") -> Column:
     # strip the fragment BEFORE extracting the query: a '?' inside the
     # fragment must not be promoted into the canonical query string
     q = F.regexp_extract(F.regexp_replace(u, "#.*", ""), _QUERY_RE, 1)
+    def _tracking(p: Column) -> Column:
+        # param name = text before the first '=' (whole param if none)
+        name = F.lower(F.substring_index(p, "=", 1))
+        return sum_or([name.startswith(pre) for pre in TRACKING_NAME_PREFIXES]
+                      + [name == F.lit(n) for n in TRACKING_NAMES])
+
     keep = F.filter(
         F.split(q, "&"),
-        lambda p: (F.length(p) > 0)
-        & ~sum_or([p.startswith(pre) for pre in TRACKING_PREFIXES]))
+        lambda p: (F.length(p) > 0) & ~_tracking(p))
     qs = F.array_join(F.array_sort(keep), "&")
     return F.concat(
         scheme, F.lit("://"), host, path,

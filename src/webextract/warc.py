@@ -82,7 +82,7 @@ def write_warc(path: str, records: list[tuple[str, datetime, bytes]],
         f.write(data)
 
 
-def iter_warc_records(raw: bytes) -> Iterator[tuple[str, datetime, bytes]]:
+def iter_warc_records(raw: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
     """Yield (url, warc_ts, html_bytes) from one WARC(.gz) archive's bytes.
 
     Streaming over a file-like: gzip's reader transparently concatenates
@@ -123,7 +123,10 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[str, datetime, bytes]]:
         if headers.get(b"warc-type") == b"response":
             url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
             ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
-            ts = datetime(1970, 1, 1)
+            # unparseable/missing WARC-Date → NULL, not a sentinel epoch:
+            # latest-crawl resolution orders warc_ts DESC (nulls last), so a
+            # malformed date is VISIBLY unknown instead of silently oldest
+            ts = None
             for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
                 try:
                     ts = datetime.strptime(ts_raw, fmt)

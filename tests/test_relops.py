@@ -146,6 +146,8 @@ def test_salted_join_rejects_right_and_full_outer(spark):
 
     left = spark.createDataFrame([(1, "a")], "id long, k string")
     right = spark.createDataFrame([("a", 1)], "k string, w int")
-    for how in ("right", "full", "full_outer", "rightouter"):
+    # "outer" is Spark's alias for FULL outer — must be rejected too
+    for how in ("right", "full", "full_outer", "rightouter", "outer",
+                "OUTER", "fullouter"):
         with pytest.raises(ValueError, match="salt"):
             salted_join(left, right, key="k", how=how)

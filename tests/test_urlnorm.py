@@ -39,3 +39,16 @@ def test_fragment_query_not_promoted(spark):
            for r in canonical_url_df(df).collect()}
     assert got["http://ex.org/p#frag?x=1"] == "http://ex.org/p"
     assert got["http://ex.org/p"] == "http://ex.org/p"
+
+
+def test_tracking_matched_by_param_name_not_prefix(spark):
+    # gclid_custom is NOT gclid (name must match exactly); UTM_SOURCE IS
+    # utm_* (names compare case-insensitively); values never matter
+    df = spark.createDataFrame(
+        [("http://ex.org/p?gclid_custom=1&UTM_SOURCE=x&a=1&fbclid=2",),
+         ("http://ex.org/p?b=utm_source",)], "url string")
+    got = {r["url"]: r["canonical_url"]
+           for r in canonical_url_df(df).collect()}
+    assert got["http://ex.org/p?gclid_custom=1&UTM_SOURCE=x&a=1&fbclid=2"] \
+        == "http://ex.org/p?a=1&gclid_custom=1"
+    assert got["http://ex.org/p?b=utm_source"] == "http://ex.org/p?b=utm_source"

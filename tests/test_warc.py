@@ -80,3 +80,17 @@ def test_fractional_second_warc_date(tmp_path):
     # payload — lengths are unaffected
     got = list(iter_warc_records(raw))
     assert got[0][1] == dt.datetime(2025, 1, 1, 12, 0, 0, 123456)
+
+
+def test_malformed_warc_date_yields_null_ts(tmp_path):
+    from datetime import datetime
+
+    from webextract.warc import iter_warc_records, write_warc
+
+    p = str(tmp_path / "a.warc")
+    write_warc(p, [("http://ex.org/1", datetime(2024, 1, 2), b"<p>x</p>")])
+    raw = open(p, "rb").read().replace(b"2024-01-02T00:00:00Z", b"not-a-date!!!!!!!!!!")
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == 1
+    url, ts, html = recs[0]
+    assert ts is None and url == "http://ex.org/1" and html == b"<p>x</p>"
