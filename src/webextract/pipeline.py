@@ -51,14 +51,22 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     report: dict[str, int] = {}
     ok = pages.filter(F.col("status") == "ok") if "status" in pages.columns \
         else pages
+    # persist the input boundary FIRST: the input count, the latest-crawl
+    # window, and every later stage otherwise each re-run the full upstream
+    # plan (extraction scan + parse) from scratch
+    ok = ok.persist()
     report["input"] = ok.count()
 
     # --- recrawl resolution: latest successful crawl per url -------------
     # recrawls REPEAT the id (same url, new warc_ts) — every downstream
     # id-keyed step assumes id uniqueness, so resolve first (q04's shape:
-    # row_number over (id ORDER BY ts desc))
+    # row_number over (id ORDER BY ts desc)). Tie-break equal timestamps by
+    # md5(text) DESC: deterministic across runs/engines (a bare ts order
+    # would let Spark pick an arbitrary copy, making downstream dedup
+    # membership non-reproducible)
     if "warc_ts" in ok.columns:
-        w = Window.partitionBy(id_col).orderBy(F.desc("warc_ts"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("warc_ts"), F.desc(F.md5(F.col(text_col))))
         ok = (ok.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
         report["after_latest_crawl"] = ok.count()
@@ -83,6 +91,7 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     # count would otherwise recompute extraction + the gates from the scan
     gated = gated.persist()
     report["after_gates"] = gated.count()
+    ok.unpersist()
 
     # --- exact dedup: keep the best copy per content group ---------------
     kept = best_copy(gated, text_col=text_col, id_col=id_col,
@@ -92,11 +101,17 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
                  .persist())
     report["after_exact_dedup"] = survivors.count()
 
-    # --- near-dup clusters: one doc per MinHash-LSH component ------------
+    # --- near-dup clusters: BEST copy per MinHash-LSH component ----------
     if near_dup:
         # connected_components labels are numeric; string ids (urls) are
         # keyed by xxhash64 (deterministic; a 2^-64 collision would merely
-        # merge two clusters) and survivors re-selected by representative
+        # merge two clusters). The surviving member per cluster is the
+        # HIGHEST-QUALITY one (longest normalized text, min id tie-break) —
+        # same "keep the best copy" semantics as the exact-dedup stage, not
+        # an arbitrary min-hash representative.
+        from .dedup import _norm_text
+
+        exact_surv = survivors
         pairs = minhash_lsh_pairs(survivors, text_col=text_col,
                                   id_col=id_col, n=2, hash_fn=dedup_hash)
         hpairs = pairs.select(F.xxhash64("id_a").alias("id_a"),
@@ -107,12 +122,24 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
                 vertices=survivors.select(
                     F.xxhash64(F.col(id_col)).alias("hid")),
                 id_col="hid")
-            reps = (cc.filter(F.col("id") == F.col("cluster_id"))
-                      .select(F.col("id").alias("hid")))
+            labeled = (survivors
+                       .withColumn("_hid", F.xxhash64(F.col(id_col)))
+                       .withColumn("_q", F.length(_norm_text(text_col)))
+                       .join(cc.select(F.col("id").alias("_hid"),
+                                       "cluster_id"), "_hid"))
+            reps = labeled.groupBy("cluster_id").agg(
+                F.min_by(id_col, F.struct((-F.col("_q")).alias("nq"),
+                                          F.col(id_col))).alias("_rep"))
             survivors = survivors.join(
-                reps, F.xxhash64(F.col(id_col)) == F.col("hid"),
+                reps.select(F.col("_rep").alias(id_col)), id_col,
                 "left_semi")
-        report["after_near_dedup"] = survivors.count()
+        if survivors is not exact_surv:  # pairs found: new persisted stage
+            survivors = survivors.persist()
+            report["after_near_dedup"] = survivors.count()
+            exact_surv.unpersist()
+        else:  # no candidate pairs: stage is a pass-through
+            report["after_near_dedup"] = report["after_exact_dedup"]
+    gated.unpersist()
 
     # --- language-stratified sample --------------------------------------
     if lang_rates:

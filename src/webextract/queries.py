@@ -738,38 +738,47 @@ from .dedup import MINHASH_P as _MH_P, minhash_perm_consts as _mh_consts  # noqa
 _MH_AB = _mh_consts(_MH_PERM)
 
 # CTE body + final select kept separate so q37 can reuse the whole pair
-# pipeline as the edge source of its recursive-CTE oracle
-_Q17_CTES = f"""toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+# pipeline as the edge source of its recursive-CTE oracle; parameterized on
+# (source relation, id column) so __spark_entry__'s q58 curate oracle can
+# run the SAME MinHash+LSH pair pipeline over its landed stage table
+def _mh_pair_ctes(src: str, id_sql: str) -> str:
+    """DuckDB CTE chain: ``src``(id, text) → banded-LSH candidate pairs with
+    signature-estimated Jaccard (twin of dedup.minhash_lsh_pairs with n=2,
+    num_perm=64, bands=16, hash_fn='md5_60')."""
+    return f"""toks AS (
+  SELECT {id_sql} AS mh_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM {src} WHERE length(trim(text)) > 0
 ), grams AS (
-  SELECT DISTINCT doc_id,
+  SELECT DISTINCT mh_id,
          unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS g
   FROM toks WHERE len(t) >= 2
 ), based AS (
-  SELECT doc_id, ({_md5h_sql('g')} % {1 << 30}) AS b FROM grams
+  SELECT mh_id, ({_md5h_sql('g')} % {1 << 30}) AS b FROM grams
 ), sig AS (
-  SELECT doc_id,
+  SELECT mh_id,
          {', '.join(f"MIN(({a} * b + {c}) % {_MH_P}) AS h{i}"
                     for i, (a, c) in enumerate(_MH_AB))}
-  FROM based GROUP BY doc_id
+  FROM based GROUP BY mh_id
 ), bucketed AS (
-  SELECT doc_id, unnest([{', '.join(
+  SELECT mh_id, unnest([{', '.join(
       _md5h_sql('concat_ws(' + "'|', " + str(k) + ', ' + ', '.join(
           f'h{k * _MH_RPB + r}' for r in range(_MH_RPB)) + ')')
       for k in range(_MH_BANDS))}]) AS bucket
   FROM sig
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT DISTINCT a.mh_id AS id_a, b.mh_id AS id_b
   FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.bucket = b.bucket AND a.mh_id < b.mh_id
 ), est AS (
   SELECT c.id_a, c.id_b,
          CAST(({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END'
                            for i in range(_MH_PERM))}) AS DOUBLE) / {_MH_PERM}
            AS est_jaccard
-  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+  FROM cand c JOIN sig sa ON c.id_a = sa.mh_id JOIN sig sb ON c.id_b = sb.mh_id
 )"""
+
+
+_Q17_CTES = _mh_pair_ctes("documents", "doc_id")
 
 _Q17_FINAL = f"SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {_MH_TAU}"
 

@@ -31,3 +31,25 @@ def test_curate_end_to_end(spark, tmp_path):
     # survivors are unique per url (recrawl resolution + dedup upstream)
     urls = [r["url"] for r in out.select("url").collect()]
     assert len(urls) == len(set(urls)) == report["final"]
+
+
+def test_near_dup_keeps_best_copy(spark):
+    # a 3-member near-dup cluster: the HIGHEST-QUALITY (longest) member must
+    # survive, not the member with the smallest hash/url
+    # 60 DISTINCT tokens (repetition gate must not fire) shared by all three
+    base = " ".join(f"word{i:02d}tok" for i in range(60))
+    rows = [
+        ("http://ex.org/a", base + " phi chi psi omega extra rich tail here", "en"),
+        ("http://ex.org/b", base, "en"),
+        ("http://ex.org/c", base + " phi", "en"),
+        ("http://ex.org/z", "totally unrelated document about maritime law "
+                            "and shipping regulations in coastal waters "
+                            "governing vessel traffic and port authority", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    out, report = curate(df, near_dup=True)
+    kept = sorted(r["url"] for r in out.select("url").collect())
+    assert "http://ex.org/z" in kept
+    cluster_kept = [u for u in kept if u != "http://ex.org/z"]
+    assert cluster_kept == ["http://ex.org/a"], (kept, report)
+    assert report["after_near_dedup"] == 2, report
