@@ -39,10 +39,12 @@ def corpus_parquet(n_docs: int, seed: int = 42, content_scale: int = 1,
     cores, idling 14 cores through the final ~2 s wave; 250-row groups give
     ~328 tasks and a flat tail.
     """
-    from webextract.corpus import write_corpus_parquet
+    from webextract.corpus import CORPUS_VERSION, write_corpus_parquet
 
-    d = os.path.join(tempfile.gettempdir(),
-                     f"webextract_bench_{n_docs}_{seed}_{content_scale}_rg{row_group_rows}")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"webextract_bench_v{CORPUS_VERSION}_{n_docs}_{seed}"
+        f"_{content_scale}_rg{row_group_rows}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         write_corpus_parquet(d, n_docs, seed=seed, content_scale=content_scale,

@@ -397,9 +397,10 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     shuffle keyed on the (8-byte) vertex id, moving |E| label messages —
     never text, never signatures. LSH near-dup components are quasi-cliques
     (diameter 2-3), so this converges in 2-3 rounds at any corpus size; for
-    adversarial long-chain graphs swap in large-star/small-star (Kiveris et
-    al., "Connected Components in MapReduce and Beyond", SoCC'14), which
-    contracts in O(log^2 n) rounds with the same per-round shuffle shape.
+    adversarial long-chain graphs use :func:`connected_components_star`
+    (large-star/small-star contraction, O(log^2 n) rounds, same per-round
+    shuffle shape). If the round budget runs out this function RAISES
+    rather than returning silently-unconverged labels.
     The driver holds only the convergence counter; labels stay distributed
     (localCheckpoint per round cuts lineage — on a cluster use
     ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``).
@@ -429,6 +430,7 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
 
     labels = labels.localCheckpoint(eager=True)
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         msgs = (sym.join(labels.withColumnRenamed("id", "a"), "a")
                    .select(F.col("b").alias("id"), "label"))
@@ -438,9 +440,110 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
         cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning unconverged labels would silently split clusters —
+        # fail LOUDLY instead (reference parity: a failing stage surfaces,
+        # it never corrupts output; extraction_orchestrator.py:232-242)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            f"rounds — the pair graph's diameter exceeds the round budget "
+            f"(adversarial chain graph?). Raise max_iter, or use "
+            f"connected_components_star (large-star/small-star, O(log^2 n) "
+            f"rounds) for long-chain graphs.")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(edges: DataFrame, *, src: str = "id_a",
+                              dst: str = "id_b",
+                              vertices: DataFrame | None = None,
+                              id_col: str = "id",
+                              max_iter: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the long-chain-safe variant of
+    :func:`connected_components`.
+
+    Hash-Min needs diameter rounds (fine for quasi-clique LSH components,
+    pathological for chains); star contraction converges in O(log^2 n)
+    rounds on ANY graph with the same per-round shuffle shape (one groupBy
+    keyed on an 8-byte vertex id, messages are (long, long) pairs):
+
+    - large-star: every node connects its LARGER neighbors to its minimum
+      neighborhood member (min over N(u) ∪ {u});
+    - small-star: every node connects its smaller-or-equal neighbors and
+      itself to that minimum.
+
+    The edge set monotonically contracts toward star graphs centered on
+    each component's minimum id; a round that changes nothing is the
+    fixpoint (checked by exact decimal endpoint-sum + count signature —
+    equal signature on the SAME cardinality only happens at the fixpoint
+    because endpoint sums strictly decrease while edges churn). Ids must be
+    numeric, like :func:`connected_components`.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("x"),
+                      F.col(dst).cast("long").alias("y"))
+         .filter(F.col("x") != F.col("y"))
+         .select(F.greatest("x", "y").alias("hi"),
+                 F.least("x", "y").alias("lo"))
+         .distinct().localCheckpoint(eager=True))
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl")).first()
+        return (row["n"], row["sh"], row["sl"])
+
+    prev = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star ---------------------------------------------------
+        nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        m = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (nbr.join(m, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                 .filter(F.col("hi") != F.col("lo")))
+        e1 = large.distinct()
+        # --- small-star (edges already directed hi > lo) ------------------
+        mm = e1.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = e1.join(mm, "hi")
+        small = (j.select(F.col("lo").alias("x"), F.col("m").alias("y"))
+                 .union(j.select(F.col("hi").alias("x"),
+                                 F.col("m").alias("y")))
+                 .filter(F.col("x") != F.col("y"))
+                 .select(F.greatest("x", "y").alias("hi"),
+                         F.least("x", "y").alias("lo")))
+        e = small.distinct().localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after "
+            f"max_iter={max_iter} rounds (O(log^2 n) expected — is the "
+            f"input astronomically large, or max_iter tiny?)")
+    # at the fixpoint every edge points (member -> component minimum)
+    labels = e.select(F.col("hi").alias("id"), F.col("lo").alias("label")) \
+              .groupBy("id").agg(F.min("label").alias("label"))
+    if vertices is not None:
+        vs = vertices.select(F.col(id_col).cast("long").alias("id"))
+        labels = (vs.join(labels, "id", "left")
+                    .select("id", F.coalesce("label", "id").alias("label")))
+    else:
+        # component minima label themselves
+        mins = e.select(F.col("lo").alias("id")).distinct() \
+                .join(labels.select("id"), "id", "left_anti") \
+                .select("id", F.col("id").alias("label"))
+        labels = labels.unionByName(mins)
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def best_copy(df: DataFrame, *, text_col: str = "text",

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 from .fasthtml import parse_blocks_fast as parse_blocks
 from .heuristics import CLASS_BLOCKLIST, select_content
-from .pdftext import extract_pdf_text, is_pdf
+from .pdftext import extract_pdf_pages, is_pdf
 from .textnorm import join_blocks
 
 # charset sniff over the raw byte prefix (ASCII-compatible encodings):
@@ -105,20 +105,26 @@ def extract_document(raw: bytes, *, link_density_max: float = 0.5,
 
 def _extract_pdf(raw: bytes) -> ExtractResult:
     try:
-        paragraphs = extract_pdf_text(raw)
+        pages = extract_pdf_pages(raw)
     except Exception as e:  # noqa: BLE001
         return ExtractResult(
             status=STATUS_PARSE_ERROR, error=f"pdf: {type(e).__name__}: {e}",
             content_type="pdf",
         )
-    if not paragraphs:
+    if not pages:
         # image-only or truncated PDF: route to DLQ rather than emit a row
         # indistinguishable from a legitimately empty document
         return ExtractResult(
             status=STATUS_EMPTY, error="pdf: no text extracted", content_type="pdf"
         )
+    # span kind carries the 1-based page number ("p1", "p2", …) so extracted
+    # text maps back to its page — the identity the reference guarantees via
+    # Page.page_number (reference types/document.py:38-45) and the ordered
+    # Document.pages list (types/document.py:57-60)
+    paragraphs = [p for page in pages for p in page]
+    page_of = [pno for pno, page in enumerate(pages, 1) for _ in page]
     joined, offsets = join_blocks(paragraphs)
-    spans = [(s, e, "paragraph") for (s, e) in offsets]
+    spans = [(s, e, f"p{pno}") for (s, e), pno in zip(offsets, page_of)]
     return ExtractResult(
         text=joined, spans=spans, status=STATUS_OK,
         content_type="pdf", n_blocks=len(paragraphs),

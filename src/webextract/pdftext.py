@@ -73,9 +73,19 @@ def _decode_stream(body: bytes, preceding: bytes) -> bytes:
     return body
 
 
-def extract_pdf_text(raw: bytes) -> list[str]:
-    """Return one normalized paragraph per BT…ET text block, document order."""
-    paragraphs: list[str] = []
+def extract_pdf_pages(raw: bytes) -> list[list[str]]:
+    """One entry per PAGE, each a list of normalized paragraphs.
+
+    Page identity rule of this minimal subset: each decodable content
+    stream that yields at least one text block is one page, in document
+    order (the fixture generator emits exactly one content stream per
+    /Page object; streams with no text — fonts, images — are not pages).
+    1-based page numbers are the list index + 1, matching the reference's
+    validated ``Page.page_number`` field (reference
+    ``types/document.py:38-45``; ``Document.pages`` ordering
+    ``types/document.py:57-60``).
+    """
+    pages: list[list[str]] = []
     for m in _STREAM_RE.finditer(raw):
         # the object dictionary sits between the previous object start and
         # the `stream` keyword; 512 bytes of lookback is ample for our dicts
@@ -84,6 +94,7 @@ def extract_pdf_text(raw: bytes) -> list[str]:
             content = _decode_stream(m.group(1), dict_region)
         except zlib.error:
             continue  # not a content stream we understand
+        paragraphs: list[str] = []
         for bt in _BT_ET_RE.finditer(content):
             pieces: list[bytes] = []
             for tm in _TJ_RE.finditer(bt.group(1)):
@@ -96,4 +107,11 @@ def extract_pdf_text(raw: bytes) -> list[str]:
                 text = normalize_ws(b"".join(pieces).decode("latin-1"))
                 if text:
                     paragraphs.append(text)
-    return paragraphs
+        if paragraphs:
+            pages.append(paragraphs)
+    return pages
+
+
+def extract_pdf_text(raw: bytes) -> list[str]:
+    """All paragraphs across pages, document order (flattened view)."""
+    return [p for page in extract_pdf_pages(raw) for p in page]

@@ -161,3 +161,29 @@ def test_pdf_octal_and_unknown_escapes():
     assert _unescape(rb"a\9\8z") == b"a98z"
     assert _unescape(rb"oct\0478") == b"oct'8"      # octal run is max 3 digits
     assert _unescape(rb"\n\t\(\)\\") == b"\n\t()\\"
+
+
+def test_pdf_multipage_spans_map_to_pages():
+    from webextract.corpus import make_pdf, paginate
+    from webextract.extract import extract_document
+    from webextract.pdftext import extract_pdf_pages
+
+    paras = ["Page one first paragraph.", "Page one second.",
+             "Page two opening text.", "Page two closing words."]
+    for compress in (False, True):
+        raw = make_pdf(paras, compress=compress, n_pages=2)
+        assert extract_pdf_pages(raw) == paginate(paras, 2)
+        r = extract_document(raw)
+        assert r.status == "ok" and r.content_type == "pdf"
+        # byte-identity of the joined text is kept; spans carry page ids
+        from webextract.textnorm import join_blocks
+        joined, offs = join_blocks(paras)
+        assert r.text == joined
+        kinds = [k for (_s, _e, k) in r.spans]
+        assert kinds == ["p1", "p1", "p2", "p2"]
+        # offsets slice the text back to the original paragraphs
+        assert [r.text[s:e] for (s, e, _k) in r.spans] == paras
+    # single-page PDFs keep working, spans say p1
+    raw1 = make_pdf(paras[:2], compress=True)
+    r1 = extract_document(raw1)
+    assert [k for (_s, _e, k) in r1.spans] == ["p1", "p1"]

@@ -383,3 +383,44 @@ def test_best_copy_string_ids(spark):
     assert got["http://a/x"]["canonical_id"] == "http://a/y"
     assert got["http://a/y"]["is_kept"] == 1
     assert got["http://a/z"]["is_kept"] == 0
+
+
+def test_cc_hashmin_raises_loudly_on_chain_budget(spark):
+    import pytest
+
+    from webextract.dedup import connected_components
+
+    # a 30-node chain has diameter 29: 3 hash-min rounds CANNOT converge —
+    # the engine must refuse to return silently-unconverged labels
+    edges = spark.createDataFrame([(i, i + 1) for i in range(29)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=3)
+
+
+def test_cc_star_matches_hashmin_and_handles_chains(spark):
+    import random
+
+    from webextract.dedup import connected_components, connected_components_star
+
+    # long chain: star converges in O(log^2 n) rounds where hash-min needs 59
+    chain = spark.createDataFrame([(i, i + 1) for i in range(59)],
+                                  "id_a long, id_b long")
+    star = {(r["id"], r["cluster_id"])
+            for r in connected_components_star(chain, max_iter=10).collect()}
+    assert star == {(i, 0) for i in range(60)}
+
+    # random graphs: star == hash-min (with a generous round budget) exactly
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        a = {(r["id"], r["cluster_id"]) for r in
+             connected_components(df, vertices=verts, max_iter=50).collect()}
+        b = {(r["id"], r["cluster_id"]) for r in
+             connected_components_star(df, vertices=verts,
+                                       max_iter=30).collect()}
+        assert a == b, (trial, sorted(a - b)[:5], sorted(b - a)[:5])
