@@ -742,6 +742,8 @@ _VERIFY_FIRST = [
     "q57_warc_roundtrip",
     "q58_curate_pipeline",
     "q59_jsonl_compact_roundtrip",
+    "q60_decontamination",
+    "q61_unigram_lm_score",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -758,6 +760,7 @@ _VERIFY_LAST = [
     "q20_user_event_pivot", "q21_customers_with_recent_orders",
     "q22_lineitem_cube", "q23_orders_by_month",
     "q24_event_value_percentiles", "q25_json_props", "q10_token_counts",
+    "q11_quality_scores", "q13_exact_dedup",
 ]
 
 

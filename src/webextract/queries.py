@@ -2211,6 +2211,117 @@ def q27(spark, sf_dir):
     return documents_registry().route(d, text_col="text", id_col="doc_id")
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination + unigram-LM commonness (round 4)
+# --------------------------------------------------------------------------
+
+_DECON_N = 5          # n-gram order of the contamination index
+_DECON_BENCH_MOD = 20  # doc_id % MOD == 0 docs form the synthetic benchmark
+
+
+@register(
+    "q60_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             {_md5h_sql("unnest(list_transform(range(1, len(t) - 3), i -> "
+                        "concat_ws(chr(95), t[i], t[i+1], t[i+2], t[i+3], "
+                        "t[i+4])))")} AS gh
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ), bench AS (
+      SELECT DISTINCT gh FROM grams WHERE doc_id % {_DECON_BENCH_MOD} = 0
+    ), hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM grams g JOIN bench USING (gh)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="benchmark DECONTAMINATION check — the pre-training hygiene step "
+        "that flags corpus documents sharing any 5-gram with an evaluation "
+        "set (here a synthetic benchmark = every 20th doc). Scale shape: "
+        "grams are hashed to 60-bit keys BEFORE any join (the shuffle and "
+        "the broadcast carry longs, never n-gram strings), the benchmark "
+        "index is tiny relative to the corpus so it BROADCASTS (zero extra "
+        "exchange beyond the gram explode), and per-doc distinct grams "
+        "bound the overlap count. Oracle-checked via the portable md5_60 "
+        "hash.",
+)
+def q60(spark, sf_dir):
+    from .dedup import HASH_FNS
+
+    d = _t(spark, sf_dir, "documents")
+
+    h, _bits = HASH_FNS["md5_60"]
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+            .filter(F.size("t") >= _DECON_N))
+    gram = F.expr(
+        "transform(sequence(0, size(t) - 5), i -> "
+        "concat_ws('_', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")
+    grams = (toks.select("doc_id", F.explode(gram).alias("g"))
+             .select("doc_id", h(F.col("g")).alias("gh")).distinct())
+    bench = (grams.filter(F.pmod("doc_id", F.lit(_DECON_BENCH_MOD)) == 0)
+             .select("gh").distinct())
+    hits = (grams.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    n = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return (d.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id", n.cast("long").alias("n_overlap"),
+                    (n > 0).cast("int").alias("contaminated")))
+
+
+@register(
+    "q61_unigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), words AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), tf AS (
+      SELECT w, COUNT(*) AS tf_g FROM words GROUP BY w
+    )
+    SELECT words.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf_g) AS BIGINT) AS sum_tf,
+           CAST(SUM(tf.tf_g) // COUNT(*) AS BIGINT) AS mean_tf
+    FROM words JOIN tf USING (w)
+    GROUP BY words.doc_id
+    """,
+    doc="unigram-LM commonness score (the CCNet-style language-model "
+        "filter's integer-exact surrogate): per document, the mean corpus "
+        "frequency of its tokens — low scores mark gibberish/rare-token "
+        "soup, implausibly high scores mark stopword/boilerplate soup; "
+        "both tails are what LM-perplexity filtering removes. Plan: one "
+        "shuffle to build the term-frequency table, one term-keyed join "
+        "back (the tf side is |vocab|, orders of magnitude smaller than "
+        "the corpus), one per-doc aggregate; integer `div` == DuckDB `//` "
+        "keeps the score bit-exact (at 10^12 docs switch sum_tf to "
+        "decimal(38,0) — the shape is unchanged).",
+)
+def q61(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = (d.filter(F.length(F.trim("text")) > 0)
+             .select("doc_id", F.explode(
+                 F.split(F.trim("text"), r"\s+")).alias("w")))
+    tf = words.groupBy("w").agg(F.count("*").alias("tf_g"))
+    per = (words.join(tf, "w")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum("tf_g").alias("sum_tf")))
+    return per.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_tf").cast("long").alias("sum_tf"),
+        F.expr("sum_tf div n_tokens").cast("long").alias("mean_tf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 
