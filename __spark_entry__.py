@@ -694,6 +694,86 @@ UNION ALL SELECT 'final', (SELECT COUNT(*) FROM sampled)
 """
 
 
+# --------------------------------------------------------------------------
+# q62: paragraph-level boilerplate strip (dedup.strip_common_paragraphs) —
+# the CCNet-style LINE dedup. The extraction output (url, text, spans) is
+# landed; BOTH engines explode the spans into (url, start, paragraph), add
+# one synthetic boilerplate paragraph per row (same expression), strike
+# paragraphs with document frequency > max_df, and rebuild each document in
+# span order. The md5 of every rebuilt document is compared.
+# --------------------------------------------------------------------------
+
+_Q62_LAND = os.path.join(tempfile.gettempdir(), "webextract_q62_land")
+_Q62_BOILER = "Copyright example.com - all rights reserved."
+_Q62_MAX_DF = 5
+
+_Q62_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT url, text, spans
+  FROM read_parquet('{_Q62_LAND}/input/*.parquet')
+), paras AS (
+  SELECT url, s.start AS start,
+         substr(text, CAST(s.start AS INTEGER) + 1,
+                CAST(s."end" - s.start AS INTEGER)) AS p
+  FROM (SELECT url, text, unnest(spans) AS s FROM e)
+  UNION ALL
+  SELECT url, length(text) + 2, '{_Q62_BOILER}' FROM e
+), dfc AS (
+  SELECT (('0x' || substr(md5(p), 1, 15))::UBIGINT::BIGINT) AS h,
+         COUNT(DISTINCT url) AS d
+  FROM paras GROUP BY 1
+), kept AS (
+  SELECT paras.* FROM paras
+  JOIN dfc ON (('0x' || substr(md5(p), 1, 15))::UBIGINT::BIGINT) = dfc.h
+  WHERE dfc.d <= {_Q62_MAX_DF}
+), agg AS (
+  SELECT url,
+         string_agg(p, chr(10) || chr(10) ORDER BY start, p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY url
+), tot AS (
+  SELECT url, COUNT(*) AS n_all FROM paras GROUP BY url
+)
+SELECT t.url,
+       md5(coalesce(a.clean_text, '')) AS clean_md5,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_all - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a USING (url)
+"""
+
+
+def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal over the extraction output,
+    oracle-checked end-to-end (md5 of every rebuilt document)."""
+    import shutil
+
+    from webextract.dedup import strip_common_paragraphs
+    from webextract.sparkjob import extract_df, split_errors
+
+    _ship_package(spark)
+    n = max(60, min(800, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    pages, _ = _corpus_df(spark, n)
+    ok, _ = split_errors(extract_df(pages, num_partitions=8))
+    shutil.rmtree(_Q62_LAND, ignore_errors=True)
+    (ok.select("url", "text", "spans")
+       .write.mode("overwrite").parquet(os.path.join(_Q62_LAND, "input")))
+    e = spark.read.parquet(os.path.join(_Q62_LAND, "input"))
+    real = (e.select("url", F.explode("spans").alias("s"), "text")
+            .select("url", F.col("s.start").alias("start"),
+                    F.substring(F.col("text"),
+                                F.col("s.start").cast("int") + F.lit(1),
+                                (F.col("s.end") - F.col("s.start"))
+                                .cast("int")).alias("p")))
+    planted = e.select(
+        "url", (F.length("text") + 2).cast("long").alias("start"),
+        F.lit(_Q62_BOILER).alias("p"))
+    paras = real.unionByName(planted)
+    out = strip_common_paragraphs(paras, max_df=_Q62_MAX_DF,
+                                  hash_fn="md5_60")
+    return out.select(
+        "url", F.md5("clean_text").alias("clean_md5"), "n_kept", "n_removed")
+
+
 def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation recipe (pipeline.curate) with every stage count
     re-derived by the DuckDB oracle from the landed extraction output."""
@@ -744,6 +824,7 @@ _VERIFY_FIRST = [
     "q59_jsonl_compact_roundtrip",
     "q60_decontamination",
     "q61_unigram_lm_score",
+    "q62_boilerplate_strip",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -760,7 +841,7 @@ _VERIFY_LAST = [
     "q20_user_event_pivot", "q21_customers_with_recent_orders",
     "q22_lineitem_cube", "q23_orders_by_month",
     "q24_event_value_percentiles", "q25_json_props", "q10_token_counts",
-    "q11_quality_scores", "q13_exact_dedup",
+    "q11_quality_scores", "q13_exact_dedup", "q14_ngram_jaccard_pairs",
 ]
 
 
@@ -786,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q57_warc_roundtrip"] = _q_warc_roundtrip
     out["q58_curate_pipeline"] = _q_curate_pipeline
     out["q59_jsonl_compact_roundtrip"] = _q_jsonl_compact_roundtrip
+    out["q62_boilerplate_strip"] = _q_boilerplate_strip
     return _verify_order(out)
 
 
@@ -802,4 +884,5 @@ def oracle_sql() -> dict[str, str]:
     out["q57_warc_roundtrip"] = _Q57_ORACLE_SQL
     out["q58_curate_pipeline"] = _q58_oracle_sql()
     out["q59_jsonl_compact_roundtrip"] = _Q59_ORACLE_SQL
+    out["q62_boilerplate_strip"] = _Q62_ORACLE_SQL
     return _verify_order(out)

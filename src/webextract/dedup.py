@@ -546,6 +546,56 @@ def connected_components_star(edges: DataFrame, *, src: str = "id_a",
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def strip_common_paragraphs(paras: DataFrame, *, id_col: str = "url",
+                            start_col: str = "start", para_col: str = "p",
+                            max_df: int = 5,
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """Paragraph/line-level boilerplate removal — the CCNet-style
+    within-corpus LINE dedup that document-level dedup cannot do: cookie
+    banners, copyright footers, and nav crumbs survive extraction on some
+    layouts and repeat across thousands of documents; any paragraph whose
+    document frequency exceeds ``max_df`` is struck from EVERY document,
+    then each document's text is rebuilt from its surviving paragraphs in
+    span order.
+
+    Input: one row per (document, paragraph) — e.g. the extraction output's
+    spans exploded with ``substring(text, start+1, end-start)``. Output:
+    ``(id, clean_text, n_kept, n_removed)``; a document whose every
+    paragraph was boilerplate still appears (empty text).
+
+    Scale shape: the document-frequency table groups on the paragraph HASH
+    (8-byte with xxhash64 — the shuffle carries hashes and ids, never
+    paragraph text twice), the join back is hash-keyed, and the rebuild is
+    one groupBy(id) with an array_sort — deterministic under any partial
+    aggregation order. ``max_df`` plays the same stop-gram role as
+    jaccard_pairs' pruning: the df table is tiny (distinct paragraphs with
+    df > 1 are rare) so Spark broadcasts it.
+    """
+    fn, _ = HASH_FNS[hash_fn]
+    h = fn(F.col(para_col))
+    dfc = (paras.select(h.alias("_h"), F.col(id_col).alias("_i"))
+           .groupBy("_h").agg(F.count_distinct("_i").alias("_d")))
+    kept = (paras.withColumn("_h", h)
+            .join(dfc.filter(F.col("_d") > max_df).select("_h"),
+                  "_h", "left_anti"))
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(start_col).alias("s"),
+                             F.col(para_col).alias("p")))),
+                lambda x: x["p"]),
+            "\n\n").alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    tot = paras.groupBy(id_col).agg(F.count("*").alias("n_all"))
+    nk = F.coalesce("n_kept", F.lit(0))
+    return (tot.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    nk.cast("long").alias("n_kept"),
+                    (F.col("n_all") - nk).cast("long").alias("n_removed")))
+
+
 def best_copy(df: DataFrame, *, text_col: str = "text",
               id_col: str = "url", quality_col: str | None = None,
               hash_fn: str = "xxhash64") -> DataFrame:

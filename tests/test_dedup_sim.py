@@ -424,3 +424,31 @@ def test_cc_star_matches_hashmin_and_handles_chains(spark):
              connected_components_star(df, vertices=verts,
                                        max_iter=30).collect()}
         assert a == b, (trial, sorted(a - b)[:5], sorted(b - a)[:5])
+
+
+def test_strip_common_paragraphs(spark):
+    from webextract.dedup import strip_common_paragraphs
+
+    boiler = "Copyright example.com all rights reserved"
+    rows = []
+    for i in range(8):
+        rows.append((f"u{i}", 0, f"unique body paragraph {i} alpha"))
+        rows.append((f"u{i}", 40, f"second unique bit {i} beta"))
+        rows.append((f"u{i}", 80, boiler))          # df = 8 > max_df
+    rows.append(("u9", 0, boiler))                  # doc that is ALL boilerplate
+    paras = spark.createDataFrame(rows, "url string, start long, p string")
+    out = {r["url"]: r for r in strip_common_paragraphs(
+        paras, max_df=5).collect()}
+    assert len(out) == 9
+    for i in range(8):
+        r = out[f"u{i}"]
+        assert r["clean_text"] == (f"unique body paragraph {i} alpha\n\n"
+                                   f"second unique bit {i} beta")
+        assert r["n_kept"] == 2 and r["n_removed"] == 1
+    assert out["u9"]["clean_text"] == "" and out["u9"]["n_removed"] == 1
+    # order is span order even when input rows arrive shuffled
+    sh = spark.createDataFrame(
+        [("x", 50, "middle"), ("x", 99, "tail"), ("x", 0, "head")],
+        "url string, start long, p string")
+    got = strip_common_paragraphs(sh, max_df=5).collect()[0]
+    assert got["clean_text"] == "head\n\nmiddle\n\ntail"
