@@ -695,6 +695,113 @@ UNION ALL SELECT 'final', (SELECT COUNT(*) FROM sampled)
 
 
 # --------------------------------------------------------------------------
+# q63: streaming SESSION windows (streaming.session_metrics) — the last
+# pytest-only streaming operator gets a full oracle. The corpus lands, the
+# checkpointed availableNow stream runs THREE times (data, then two future
+# "flush" sentinels: append-mode session windows finalize only when a LATER
+# batch's watermark passes their end, and the watermark applied in batch k
+# derives from batch k-1's max event time — so sentinel #2 is what makes
+# sentinel #1's watermark flush every real session). The oracle re-derives
+# the full finalized session set from a BATCH extraction of the same corpus
+# landed alongside: gap-split sessions per url (lag/cumsum CTEs, the q44
+# derivation), end = last + gap — checking watermark completeness AND
+# session semantics against an independent engine, not just re-reading the
+# sink.
+# --------------------------------------------------------------------------
+
+_Q63_BASE = os.path.join(tempfile.gettempdir(), "webextract_q63_run")
+_Q63_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches the stream's gap
+
+_Q63_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT url, warc_ts, text
+  FROM read_parquet('{_Q63_BASE}/batch/*.parquet')
+), ordered AS (
+  SELECT url, warc_ts, text,
+         CASE WHEN lag(warc_ts) OVER w IS NULL
+                OR epoch_us(warc_ts) - epoch_us(lag(warc_ts) OVER w)
+                   >= {_Q63_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+), sess AS (
+  SELECT url, warc_ts, text,
+         SUM(new_s) OVER (PARTITION BY url ORDER BY warc_ts
+                          ROWS UNBOUNDED PRECEDING) AS si
+  FROM ordered
+)
+SELECT strftime(MIN(warc_ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(warc_ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       url, COUNT(*) AS docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS bytes_extracted
+FROM sess GROUP BY url, si
+"""
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows oracle-checked against a batch-SQL
+    re-derivation of the same sessions (gap split, exclusive end)."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webextract.corpus import write_corpus_parquet
+    from webextract.sparkjob import extract_df
+    from webextract.streaming import start_session_stream
+
+    _ship_package(spark)
+    n = max(60, min(600, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
+    shutil.rmtree(_Q63_BASE, ignore_errors=True)
+    land = os.path.join(_Q63_BASE, "landing")
+    os.makedirs(land)
+    write_corpus_parquet(land, n, seed=42)
+    os.remove(os.path.join(land, "truth.parquet"))
+
+    # batch twin for the oracle: the SAME extraction over the same pages
+    pages = spark.read.parquet(os.path.join(land, "web_pages.parquet"))
+    (extract_df(pages, repartition=False).select("url", "warc_ts", "text")
+     .write.mode("overwrite").parquet(os.path.join(_Q63_BASE, "batch")))
+    max_ts = pages.agg(F.max("warc_ts")).first()[0]
+
+    def _sentinel(path: str, ts: datetime) -> None:
+        pq.write_table(pa.table({
+            "url": pa.array(["https://sentinel.invalid/flush"], pa.string()),
+            "warc_ts": pa.array([ts], pa.timestamp("us")),
+            "html": pa.array([b""], pa.binary()),
+            "text": pa.array([""], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }), path)
+
+    def _run() -> None:
+        q = start_session_stream(
+            spark, land, os.path.join(_Q63_BASE, "out"),
+            os.path.join(_Q63_BASE, "ckpt"), available_now=True)
+        q.awaitTermination(300)
+
+    _run()
+    _sentinel(os.path.join(land, "sentinel1.parquet"),
+              max_ts + timedelta(days=30))
+    _run()
+    _sentinel(os.path.join(land, "sentinel2.parquet"),
+              max_ts + timedelta(days=31))
+    _run()
+    out = (spark.read.parquet(os.path.join(_Q63_BASE, "out"))
+           # the flush sentinels' own sessions may finalize too (how many
+           # depends on availableNow's trailing no-data batch) — they are
+           # harness scaffolding, not corpus sessions
+           .filter(~F.col("url").startswith("https://sentinel.invalid")))
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+         .alias("session_end"),
+        "url", "docs", "bytes_extracted")
+
+
+# --------------------------------------------------------------------------
 # q62: paragraph-level boilerplate strip (dedup.strip_common_paragraphs) —
 # the CCNet-style LINE dedup. The extraction output (url, text, spans) is
 # landed; BOTH engines explode the spans into (url, start, paragraph), add
@@ -825,6 +932,7 @@ _VERIFY_FIRST = [
     "q60_decontamination",
     "q61_unigram_lm_score",
     "q62_boilerplate_strip",
+    "q63_stream_sessions",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -842,6 +950,7 @@ _VERIFY_LAST = [
     "q22_lineitem_cube", "q23_orders_by_month",
     "q24_event_value_percentiles", "q25_json_props", "q10_token_counts",
     "q11_quality_scores", "q13_exact_dedup", "q14_ngram_jaccard_pairs",
+    "q15_cosine_topk",
 ]
 
 
@@ -868,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q58_curate_pipeline"] = _q_curate_pipeline
     out["q59_jsonl_compact_roundtrip"] = _q_jsonl_compact_roundtrip
     out["q62_boilerplate_strip"] = _q_boilerplate_strip
+    out["q63_stream_sessions"] = _q_stream_sessions
     return _verify_order(out)
 
 
@@ -885,4 +995,5 @@ def oracle_sql() -> dict[str, str]:
     out["q58_curate_pipeline"] = _q58_oracle_sql()
     out["q59_jsonl_compact_roundtrip"] = _Q59_ORACLE_SQL
     out["q62_boilerplate_strip"] = _Q62_ORACLE_SQL
+    out["q63_stream_sessions"] = _Q63_ORACLE_SQL
     return _verify_order(out)
