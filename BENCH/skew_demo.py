@@ -29,9 +29,10 @@ def make_domain_clustered_input(docs: int, scale: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from webextract.corpus import make_corpus
+    from webextract.corpus import CORPUS_VERSION, make_corpus
 
-    d = os.path.join(tempfile.gettempdir(), f"webextract_skew_{docs}_{scale}")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"webextract_skew_v{CORPUS_VERSION}_{docs}_{scale}")
     marker = os.path.join(d, "_DONE")
     out = os.path.join(d, "web_pages")
     if os.path.exists(marker):

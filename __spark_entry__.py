@@ -779,7 +779,9 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = start_session_stream(
             spark, land, os.path.join(_Q63_BASE, "out"),
             os.path.join(_Q63_BASE, "ckpt"), available_now=True)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # never launch the next run against a live checkpoint
+            raise TimeoutError("q63: availableNow session run exceeded 300s")
 
     _run()
     _sentinel(os.path.join(land, "sentinel1.parquet"),
@@ -900,10 +902,8 @@ def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, report = curate(inp, lang_rates=_Q58_RATES,
                          default_permille=_Q58_DEFAULT_PERMILLE,
                          dedup_hash="md5_60", quality=_Q58_QF)
-    try:
-        out.unpersist()
-    except Exception:  # noqa: BLE001 — final frame may not be the cached one
-        pass
+    out.unpersist()  # curate returns the persisted frame; free it — only
+    # the stage-count report leaves this function
     return spark.createDataFrame(
         [(k, v) for k, v in report.items()], "stage string, n long")
 

@@ -125,10 +125,11 @@ def main() -> None:
             if wanted and name not in wanted:
                 continue
             # best-of-2 for the relational/analytic queries (this host's
-            # per-core speed drifts ~2x between minutes); the q9x/q57-q59
-            # entries are full jobs with real filesystem side effects — run
-            # those once
-            single = name.startswith("q9") or name[:3] in ("q57", "q58", "q59")
+            # per-core speed drifts ~2x between minutes); the q9x/q57-q59/
+            # q62/q63 entries are full jobs with real filesystem side
+            # effects (landing dirs, checkpointed streams) — run those once
+            single = name.startswith("q9") or name[:3] in (
+                "q57", "q58", "q59", "q62", "q63")
             reps = 1 if single else 2
             try:
                 best = None

@@ -102,14 +102,25 @@ def enrich_df(df: DataFrame, client_factory: Callable[[], Any], *,
     import pandas as pd
 
     status_col, error_col = f"{out_col}_status", f"{out_col}_error"
+    added = (out_col, status_col, error_col)
+    # idempotent on re-drive: the documented retry flow feeds this
+    # function's OWN output back in (filter status != 'ok'), so a previous
+    # pass's result columns are replaced, never duplicated in the schema
+    base_fields = [f for f in df.schema.fields if f.name not in added]
     out_schema = T.StructType(
-        list(df.schema.fields)
+        base_fields
         + [T.StructField(out_col, T.StringType()),
            T.StructField(status_col, T.StringType()),
            T.StructField(error_col, T.StringType())])
+    out_names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         client = client_factory()
+        # ONE event loop for the task's whole lifetime: loop-bound clients
+        # (aiohttp ClientSession, httpx AsyncClient — the real-seam
+        # implementations) create connections tied to the running loop, so
+        # a per-batch asyncio.run() would hand batch 2+ a closed loop
+        loop = asyncio.new_event_loop()
 
         async def one(sem: asyncio.Semaphore, text: str):
             async with sem:
@@ -125,12 +136,15 @@ def enrich_df(df: DataFrame, client_factory: Callable[[], Any], *,
             sem = asyncio.Semaphore(max_in_flight)
             return await asyncio.gather(*[one(sem, t) for t in texts])
 
-        for pdf in batches:
-            results = asyncio.run(drive(list(pdf[text_col])))
-            pdf = pdf.copy()
-            pdf[out_col] = [r[0] for r in results]
-            pdf[status_col] = [r[1] for r in results]
-            pdf[error_col] = [r[2] for r in results]
-            yield pdf
+        try:
+            for pdf in batches:
+                results = loop.run_until_complete(drive(list(pdf[text_col])))
+                pdf = pdf.copy()
+                pdf[out_col] = [r[0] for r in results]
+                pdf[status_col] = [r[1] for r in results]
+                pdf[error_col] = [r[2] for r in results]
+                yield pdf[out_names]
+        finally:
+            loop.close()
 
     return df.mapInPandas(run, schema=out_schema)

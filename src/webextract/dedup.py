@@ -431,7 +431,10 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     labels = labels.localCheckpoint(eager=True)
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds label-CHANGING rounds; the +1 grants the no-change
+    # verification round, so a graph whose diameter is exactly max_iter
+    # converges instead of spuriously raising
+    for _ in range(max_iter + 1):
         msgs = (sym.join(labels.withColumnRenamed("id", "a"), "a")
                    .select(F.col("b").alias("id"), "label"))
         new_labels = (labels.unionByName(msgs)
@@ -499,7 +502,7 @@ def connected_components_star(edges: DataFrame, *, src: str = "id_a",
 
     prev = _sig(e)
     converged = False
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):  # +1: the no-change verification round
         # --- large-star ---------------------------------------------------
         nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))

@@ -54,8 +54,9 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     # persist the input boundary FIRST: the input count, the latest-crawl
     # window, and every later stage otherwise each re-run the full upstream
     # plan (extraction scan + parse) from scratch
-    ok = ok.persist()
-    report["input"] = ok.count()
+    ok = raw = ok.persist()  # `raw` keeps the persisted handle: `ok` is
+    report["input"] = ok.count()  # reassigned below and unpersist on the
+    # derived frame would be a silent no-op, leaking the cache
 
     # --- recrawl resolution: latest successful crawl per url -------------
     # recrawls REPEAT the id (same url, new warc_ts) — every downstream
@@ -91,7 +92,7 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     # count would otherwise recompute extraction + the gates from the scan
     gated = gated.persist()
     report["after_gates"] = gated.count()
-    ok.unpersist()
+    raw.unpersist()
 
     # --- exact dedup: keep the best copy per content group ---------------
     kept = best_copy(gated, text_col=text_col, id_col=id_col,
@@ -142,10 +143,17 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     gated.unpersist()
 
     # --- language-stratified sample --------------------------------------
+    # the RETURNED frame is always the persisted one, so the caller's
+    # documented `unpersist()` actually frees the cache: when sampling
+    # applies, persist the sampled frame and release its (persisted) parent
     if lang_rates:
+        parent = survivors
         survivors = stratified_sample(
             survivors, key_col=id_col, strata_col=lang_col,
             rates=lang_rates, default_permille=default_permille,
-            bucket_out=None)
-    report["final"] = survivors.count()
+            bucket_out=None).persist()
+        report["final"] = survivors.count()
+        parent.unpersist()
+    else:
+        report["final"] = survivors.count()
     return survivors, report

@@ -54,3 +54,20 @@ def test_enrich_bounds_in_flight_requests(spark):
     assert max(peaks) <= 3
     # with 64 queued rows and a cooperative yield, the semaphore is reached
     assert max(peaks) == 3
+
+
+def test_enrich_redrive_replaces_result_columns(spark):
+    # the documented retry flow: feed enrich_df's own output back in —
+    # result columns must be REPLACED, not duplicated
+    df = spark.createDataFrame(_rows(12), "url string, text string")
+
+    def flaky():
+        return FakeClient(fail_if=lambda t: "number 3" in t)
+
+    first = enrich_df(df, flaky, max_in_flight=4)
+    failed = first.filter(F.col("enriched_status") == "error")
+    retried = enrich_df(failed, FakeClient, max_in_flight=4)
+    assert retried.columns.count("enriched") == 1
+    rows = retried.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "u003"
+    assert rows[0]["enriched_status"] == "ok" and rows[0]["enriched"]

@@ -452,3 +452,20 @@ def test_strip_common_paragraphs(spark):
         "url string, start long, p string")
     got = strip_common_paragraphs(sh, max_df=5).collect()[0]
     assert got["clean_text"] == "head\n\nmiddle\n\ntail"
+
+
+def test_cc_converges_when_diameter_equals_max_iter(spark):
+    import pytest
+
+    from webextract.dedup import connected_components
+
+    # chain 0-1-2-3-4-5: diameter 5 needs 5 label-changing rounds; max_iter
+    # bounds CHANGING rounds, with one extra verification round granted —
+    # so max_iter=5 converges and max_iter=4 raises
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                  "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(edges, max_iter=5).collect()}
+    assert got == {(i, 0) for i in range(6)}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=4)
