@@ -105,3 +105,39 @@ def test_connected_components_matches_union_find(spark):
         got = {r["id"]: r["cluster_id"] for r in
                connected_components(e, vertices=v, id_col="id").collect()}
         assert got == want, seed
+
+
+def test_strip_common_paragraphs_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from webextract.dedup import strip_common_paragraphs
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        # small paragraph vocabulary => real cross-doc repeats, with ties
+        vocab = [f"para {i} text" for i in range(12)]
+        rows = []
+        for d in range(15):
+            n = rng.randrange(1, 6)
+            starts = sorted(rng.sample(range(0, 1000), n))
+            for s in starts:
+                rows.append((f"u{d:02d}", s, rng.choice(vocab)))
+        max_df = 3
+        # brute force
+        docs_of = defaultdict(set)
+        for u, _s, p in rows:
+            docs_of[p].add(u)
+        boiler = {p for p, us in docs_of.items() if len(us) > max_df}
+        want = {}
+        per_doc = defaultdict(list)
+        for u, s, p in rows:
+            per_doc[u].append((s, p))
+        for u, ps in per_doc.items():
+            kept = [(s, p) for (s, p) in sorted(ps) if p not in boiler]
+            want[u] = ("\n\n".join(p for (_s, p) in kept),
+                       len(kept), len(ps) - len(kept))
+        df = spark.createDataFrame(rows, "url string, start long, p string")
+        got = {r["url"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+               for r in strip_common_paragraphs(df, max_df=max_df).collect()}
+        assert got == want, (seed, {u: (got[u], want[u])
+                                    for u in got if got[u] != want[u]})
