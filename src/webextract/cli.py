@@ -106,6 +106,28 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation recipe (webextract.pipeline.curate) over a
+    finished extraction run (--run-id) or a standalone extracted parquet."""
+    from .pipeline import curate
+
+    spark = _spark(args)
+    if args.run_id:
+        from .runner import load_extracted
+
+        inp = load_extracted(spark, args.input, args.run_id)
+    else:
+        inp = spark.read.parquet(args.input)
+    rates = json.loads(args.lang_rates) if args.lang_rates else None
+    out, report = curate(inp, lang_rates=rates,
+                         default_permille=args.default_permille,
+                         near_dup=not args.no_near_dup)
+    out.write.mode("overwrite").parquet(args.output)
+    out.unpersist()
+    print(json.dumps({"output": args.output, "stages": report}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="webextract")
     ap.add_argument("--master", default=None)
@@ -136,6 +158,18 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--run-id", required=True)
     r.add_argument("--config-dir", default=None)
 
+    c = sub.add_parser(
+        "curate", help="run the composed curation recipe over extracted rows")
+    c.add_argument("--input", required=True,
+                   help="extraction output root (with --run-id) or a parquet "
+                        "path of extracted rows")
+    c.add_argument("--run-id", default=None)
+    c.add_argument("--output", required=True)
+    c.add_argument("--lang-rates", default=None,
+                   help='JSON permille rates per lang, e.g. \'{"en": 400}\'')
+    c.add_argument("--default-permille", type=int, default=1000)
+    c.add_argument("--no-near-dup", action="store_true")
+
     v = sub.add_parser("evaluate", help="evaluate a finished run against truth")
     v.add_argument("--extracted-root", required=True)
     v.add_argument("--run-id", required=True)
@@ -145,7 +179,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     return {"synth": cmd_synth, "extract": cmd_extract,
-            "reprocess": cmd_reprocess, "evaluate": cmd_evaluate}[args.cmd](args)
+            "reprocess": cmd_reprocess, "evaluate": cmd_evaluate,
+            "curate": cmd_curate}[args.cmd](args)
 
 
 if __name__ == "__main__":

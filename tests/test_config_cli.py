@@ -60,3 +60,29 @@ def test_thresholds_change_extraction():
             b"</body></html>")
     assert extract_document(html).text != ""
     assert extract_document(html, link_density_max=0.05).text == ""
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from webextract.cli import main
+    from webextract.corpus import write_corpus_parquet
+    from webextract.sparkjob import extract_df, split_errors
+
+    gen = str(tmp_path / "gen")
+    write_corpus_parquet(gen, 120, seed=21)
+    pages = spark.read.parquet(f"{gen}/web_pages.parquet")
+    ok, _ = split_errors(extract_df(pages, repartition=False))
+    src = str(tmp_path / "extracted")
+    ok.write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--input", src, "--output", out,
+               "--lang-rates", '{"en": 500}'])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = rep["stages"]
+    assert list(stages) == ["input", "after_latest_crawl", "after_gates",
+                            "after_exact_dedup", "after_near_dedup", "final"]
+    vals = list(stages.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:])) and vals[-1] > 0
+    assert spark.read.parquet(out).count() == stages["final"]
