@@ -502,3 +502,54 @@ def count_min_estimates(df: DataFrame, *, key_col: str, probes: DataFrame,
     return (probe_cells.join(F.broadcast(grid), ["i", "col"], "left")
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sample quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def bottomk_quantiles(df: DataFrame, *, group_col: str, value_col: str,
+                      id_col: str, k: int = 64,
+                      permilles: tuple[int, ...] = (500, 900, 990)
+                      ) -> DataFrame:
+    """Mergeable QUANTILE sketch per group: a deterministic uniform row
+    sample (the k rows with the smallest id-hash), exact quantiles of the
+    sample — the third classic sketch family next to KMV (distinct count)
+    and Count-Min (frequency).
+
+    Why bottom-k-by-hash and not percentile_approx: the sample is a PURE
+    function of the row ids — re-running, re-partitioning, or merging two
+    groups' samples (take the k smallest hashes of the union) yields the
+    identical sketch, and an independent engine reproduces it bit-for-bit
+    (q64's DuckDB oracle does; percentile_approx's streaming GK summary is
+    engine-internal and order-dependent). Same scale shape as kmv_distinct:
+    WindowGroupLimit pre-trims every task to its local k smallest hashes
+    per group before the exchange, so the shuffle carries at most
+    k x |groups| x tasks rows at any corpus size.
+
+    The quantile rule is exact-integer: the sample is sorted by
+    (value, id) — a total order — and permille p picks index
+    ((n_sample - 1) * p) div 1000. Returns (group, n_sample, p<p> ...).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import HASH_FNS
+
+    fn, _ = HASH_FNS["md5_60"]
+    h = fn(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc("_id"))
+    sampled = (df.select(F.col(group_col), F.col(value_col).alias("_v"),
+                         F.col(id_col).alias("_id"), h.alias("_h"))
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= k).drop("_rn", "_h"))
+    wv = Window.partitionBy(group_col).orderBy(F.asc("_v"), F.asc("_id"))
+    ranked = sampled.withColumn("_i", F.row_number().over(wv) - 1)
+    sizes = sampled.groupBy(group_col).agg(F.count("*").alias("n_sample"))
+    j = ranked.join(sizes, group_col)
+    aggs = [F.max(F.when(
+        F.col("_i") == F.expr(f"((n_sample - 1) * {p}) div 1000"),
+        F.col("_v"))).alias(f"p{p}") for p in permilles]
+    return (j.groupBy(group_col, "n_sample").agg(*aggs)
+            .select(group_col, F.col("n_sample").cast("long").alias("n_sample"),
+                    *[F.col(f"p{p}").cast("double") for p in permilles]))

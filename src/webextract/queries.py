@@ -2322,6 +2322,59 @@ def q61(spark, sf_dir):
         F.expr("sum_tf div n_tokens").cast("long").alias("mean_tf"))
 
 
+_BKQ_K = 64
+_BKQ_PERMILLES = (500, 900, 990)
+
+
+@register(
+    "q64_quantile_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type, event_id, value,
+             {_md5h_sql('CAST(event_id AS VARCHAR)')} AS hh
+      FROM events
+    ), sampled AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hh, event_id) AS rn
+        FROM h) WHERE rn <= {_BKQ_K}
+    ), ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) - 1 AS i
+      FROM sampled
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM sampled GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(n AS BIGINT) AS n_sample,
+           {', '.join(
+               f"CAST(MAX(CASE WHEN i = ((n - 1) * {p}) // 1000 "
+               f"THEN value END) AS DOUBLE) AS p{p}"
+               for p in _BKQ_PERMILLES)}
+    FROM ranked r JOIN sizes USING (event_type)
+    GROUP BY r.event_type, n
+    """,
+    doc="mergeable QUANTILE sketch per event_type "
+        "(analysis.bottomk_quantiles): a deterministic uniform row sample "
+        "(the k rows with the smallest id-hash) + exact-integer quantile "
+        "indexing over the (value, id) total order — the third classic "
+        "sketch family next to KMV (distinct, q48) and Count-Min "
+        "(frequency, q54). Pure function of the row ids: re-partitioning "
+        "or merging two groups' samples reproduces the identical sketch, "
+        "and the DuckDB oracle recomputes it bit-for-bit "
+        "(percentile_approx's GK summary never could). WindowGroupLimit "
+        "pre-trims each task to its local k per group before the exchange.",
+)
+def q64(spark, sf_dir):
+    from .analysis import bottomk_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    return bottomk_quantiles(e, group_col="event_type", value_col="value",
+                             id_col="event_id", k=_BKQ_K,
+                             permilles=_BKQ_PERMILLES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

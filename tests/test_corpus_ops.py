@@ -228,3 +228,40 @@ def test_kmv_sketch_only_plan_has_no_exact_branch(spark):
     # no join back to a full distinct count
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_bottomk_quantiles_matches_bruteforce(spark):
+    import hashlib
+
+    from webextract.analysis import bottomk_quantiles
+
+    def md5_60(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    rows = [("g1" if i % 3 else "g2", i, float((i * 37) % 1000))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    k, perms = 32, (500, 900, 990)
+    got = {r["grp"]: r for r in bottomk_quantiles(
+        df, group_col="grp", value_col="v", id_col="rid",
+        k=k, permilles=perms).collect()}
+
+    from collections import defaultdict
+    by_g = defaultdict(list)
+    for g, rid, v in rows:
+        by_g[g].append((rid, v))
+    for g, members in by_g.items():
+        sample = sorted(members, key=lambda m: (md5_60(m[0]), m[0]))[:k]
+        vals = sorted((v, rid) for rid, v in sample)
+        n = len(vals)
+        assert got[g]["n_sample"] == n
+        for p in perms:
+            want = vals[((n - 1) * p) // 1000][0]
+            assert got[g][f"p{p}"] == want, (g, p)
+    # mergeability: bottom-k of the union == bottom-k of merged samples
+    a = sorted((m for m in by_g["g1"]), key=lambda m: (md5_60(m[0]), m[0]))[:k]
+    b = sorted((m for m in by_g["g2"]), key=lambda m: (md5_60(m[0]), m[0]))[:k]
+    union_all = sorted(by_g["g1"] + by_g["g2"],
+                       key=lambda m: (md5_60(m[0]), m[0]))[:k]
+    merged = sorted(a + b, key=lambda m: (md5_60(m[0]), m[0]))[:k]
+    assert union_all == merged
