@@ -2375,6 +2375,50 @@ def q64(spark, sf_dir):
                              permilles=_BKQ_PERMILLES)
 
 
+_PACK_CAP, _PACK_SHARDS = 8192, 8
+
+
+@register(
+    "q65_sequence_packing",
+    f"""
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS tokens,
+             {_md5h_sql('CAST(doc_id AS VARCHAR)')} AS hh
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, tokens, hh % {_PACK_SHARDS} AS shard,
+             SUM(tokens) OVER (PARTITION BY hh % {_PACK_SHARDS}
+                               ORDER BY hh, doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS off
+      FROM h
+    )
+    SELECT doc_id, tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(off // {_PACK_CAP} AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PACK_CAP}
+                ELSE off // {_PACK_CAP} END AS BIGINT) AS last_chunk,
+           CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PACK_CAP}
+                ELSE off // {_PACK_CAP} END
+                - off // {_PACK_CAP} + 1 AS BIGINT) AS n_chunks
+    FROM ordered
+    """,
+    doc="SEQUENCE PACKING (sampling.pack_sequences, concat-and-chunk): "
+        "per document, the context-length training chunks it occupies in "
+        "its shard's concatenated token stream — the GPT-style "
+        "batch-assembly step between curation and the dataloader. "
+        "Hash-sharded streams keep every running-sum window independent "
+        "(no single-partition global sort — the classic scale cliff); the "
+        "assignment is a pure function of (ids, capacity, shards), so the "
+        "oracle reproduces it bit-for-bit on any engine.",
+)
+def q65(spark, sf_dir):
+    from .sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, id_col="doc_id", tokens_col="n_chars",
+                          capacity=_PACK_CAP, shards=_PACK_SHARDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

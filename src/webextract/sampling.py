@@ -90,3 +90,51 @@ def per_group_cap(df: DataFrame, *, group_col: str, key_col: str,
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (df.withColumn(rank_out, F.row_number().over(w).cast("long"))
               .filter(F.col(rank_out) <= cap))
+
+
+def pack_sequences(df: DataFrame, *, id_col: str, tokens_col: str,
+                   capacity: int, shards: int = 64,
+                   hash_fn: str = "md5_60") -> DataFrame:
+    """SEQUENCE PACKING (concat-and-chunk): map every document to the
+    ``capacity``-token training chunks it occupies — the batch-assembly
+    step between a curated corpus and a pretraining dataloader. The
+    standard GPT-style pipeline concatenates the document stream and cuts
+    it every context-length tokens (documents straddle chunk boundaries);
+    this operator computes that assignment declaratively: per document,
+    its shard, its token offset in the shard's stream, and the first/last
+    chunk it lands in.
+
+    Why per-shard windows and not one global running sum: a global order is
+    a single-partition window — the classic scale cliff. Documents are
+    hash-assigned to ``shards`` independent streams, deterministically
+    ordered within each (id-hash, then id), so every running sum is an
+    independent window (one Exchange on the shard key, shards-wide
+    parallelism). The whole assignment is a pure function of
+    (ids, capacity, shards): reproducible on any cluster size and engine —
+    q65's DuckDB oracle recomputes it bit-for-bit.
+
+    Returns (id, tokens, shard, offset, first_chunk, last_chunk,
+    n_chunks) with offset = token position of the document's first token
+    within its shard's stream and chunks numbered from 0 per shard.
+    """
+    from pyspark.sql import Window
+
+    fn, _ = HASH_FNS[hash_fn]
+    h = fn(F.col(id_col).cast("string"))
+    t = F.col(tokens_col).cast("long")
+    base = df.select(F.col(id_col).alias("id"), t.alias("tokens"),
+                     F.pmod(h, F.lit(shards)).alias("shard"), h.alias("_h"))
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc("id"))
+    cum = F.sum("tokens").over(w)          # inclusive running token total
+    off = (cum - F.col("tokens"))          # exclusive: this doc's offset
+    first = F.expr(f"_off div {capacity}")
+    # last occupied chunk = position of the final token; empty docs span
+    # nothing and report first_chunk = last_chunk (a zero-width placement)
+    last = F.when(F.col("tokens") > 0,
+                  F.expr(f"(_off + tokens - 1) div {capacity}")) \
+            .otherwise(first)
+    return (base.withColumn("_off", off)
+            .select(F.col("id").alias(id_col), "tokens", "shard",
+                    F.col("_off").alias("offset"),
+                    first.alias("first_chunk"), last.alias("last_chunk"),
+                    (last - first + 1).cast("long").alias("n_chunks")))

@@ -265,3 +265,36 @@ def test_bottomk_quantiles_matches_bruteforce(spark):
                        key=lambda m: (md5_60(m[0]), m[0]))[:k]
     merged = sorted(a + b, key=lambda m: (md5_60(m[0]), m[0]))[:k]
     assert union_all == merged
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from webextract.sampling import pack_sequences
+
+    def md5_60(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    cap, shards = 100, 4
+    rows = [(i, [0, 30, 70, 100, 130, 260][i % 6]) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, toks long")
+    got = {r["rid"]: r for r in pack_sequences(
+        df, id_col="rid", tokens_col="toks",
+        capacity=cap, shards=shards).collect()}
+
+    streams = defaultdict(list)
+    for rid, toks in rows:
+        streams[md5_60(rid) % shards].append((md5_60(rid), rid, toks))
+    for shard, docs in streams.items():
+        off = 0
+        for _h, rid, toks in sorted(docs):
+            r = got[rid]
+            first = off // cap
+            last = (off + toks - 1) // cap if toks > 0 else first
+            assert (r["shard"], r["offset"], r["first_chunk"],
+                    r["last_chunk"], r["n_chunks"]) == (
+                shard, off, first, last, last - first + 1), rid
+            off += toks
+    # a 260-token doc in a 100-token context spans >= 3 chunks
+    assert any(r["n_chunks"] >= 3 for r in got.values())
