@@ -935,6 +935,7 @@ _VERIFY_FIRST = [
     "q63_stream_sessions",
     "q64_quantile_sketch",
     "q65_sequence_packing",
+    "q66_bloom_membership",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -953,6 +954,7 @@ _VERIFY_LAST = [
     "q24_event_value_percentiles", "q25_json_props", "q10_token_counts",
     "q11_quality_scores", "q13_exact_dedup", "q14_ngram_jaccard_pairs",
     "q15_cosine_topk", "q16_embedding_near_pairs", "q17_minhash_near_pairs",
+    "q18_simhash_fingerprints",
 ]
 
 

@@ -553,3 +553,51 @@ def bottomk_quantiles(df: DataFrame, *, group_col: str, value_col: str,
     return (j.groupBy(group_col, "n_sample").agg(*aggs)
             .select(group_col, F.col("n_sample").cast("long").alias("n_sample"),
                     *[F.col(f"p{p}").cast("double") for p in permilles]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(df: DataFrame, *, key: "Column | str", m: int = 4096,
+               d: int = 5) -> DataFrame:
+    """Build a Bloom filter as a TABLE of set bit positions — the membership
+    sketch that completes the mergeable-structure family (KMV: distinct,
+    Count-Min: frequency, bottom-k: quantiles, Bloom: membership).
+
+    Use at scale as the cheap front-line of cross-crawl incremental dedup
+    (dedup.dedup_against_index): probe today's batch against the Bloom bits
+    of the historical fingerprint index — no false negatives, so a miss
+    skips the exact anti-join entirely; only probable hits pay it. The bits
+    table is ≤ m rows of one integer regardless of index size, merges by
+    UNION (set-of-positions), and — built from the seeded md5_60 like the
+    CMS grid — is bit-reproducible in any engine (q66's oracle).
+    """
+    from .dedup import HASH_FNS
+
+    fn, _ = HASH_FNS["md5_60"]
+    c = F.col(key) if isinstance(key, str) else key
+    pos = df.select(F.explode(F.array(*[
+        F.pmod(fn(c, seed=i), F.lit(m)) for i in range(d)])).alias("pos"))
+    return pos.distinct()
+
+
+def bloom_probe(df: DataFrame, bits: DataFrame, *, id_col: str,
+                key: "Column | str", m: int = 4096, d: int = 5) -> DataFrame:
+    """Probe rows against a :func:`bloom_bits` table: ``maybe_present`` = 1
+    iff ALL d bit positions are set (never a false negative; false-positive
+    rate ~ (set_bits/m)^d). One explode to d cells per row + one broadcast
+    join — the bits side is ≤ m rows by construction."""
+    from .dedup import HASH_FNS
+
+    fn, _ = HASH_FNS["md5_60"]
+    c = F.col(key) if isinstance(key, str) else key
+    cells = df.select(F.col(id_col), F.explode(F.array(*[
+        F.pmod(fn(c, seed=i), F.lit(m)) for i in range(d)])).alias("pos"))
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (cells.join(F.broadcast(hit), "pos", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"))
+            .select(id_col,
+                    (F.col("_hits") == d).cast("int").alias("maybe_present")))

@@ -2419,6 +2419,56 @@ def q65(spark, sf_dir):
                           capacity=_PACK_CAP, shards=_PACK_SHARDS)
 
 
+_BLOOM_M, _BLOOM_D = 4096, 5
+
+
+@register(
+    "q66_bloom_membership",
+    f"""
+    WITH seeds AS (
+      SELECT unnest([{', '.join(str(i) for i in range(_BLOOM_D))}]) AS i
+    ), idx AS (
+      SELECT text AS k FROM documents WHERE doc_id % 4 = 0
+    ), bits AS (
+      SELECT DISTINCT {_md5h_sql("k || '|' || i")} % {_BLOOM_M} AS pos
+      FROM idx CROSS JOIN seeds
+    ), pc AS (
+      SELECT d.doc_id, {_md5h_sql("d.text || '|' || s.i")} % {_BLOOM_M} AS pos
+      FROM documents d CROSS JOIN seeds s
+    ), hits AS (
+      SELECT pc.doc_id,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM pc LEFT JOIN bits b USING (pos)
+      GROUP BY pc.doc_id
+    )
+    SELECT doc_id, CAST(h = {_BLOOM_D} AS INT) AS maybe_present,
+           CAST(doc_id % 4 = 0 AS INT) AS in_index
+    FROM hits
+    """,
+    doc="BLOOM membership sketch (analysis.bloom_bits/bloom_probe) — the "
+        "fourth mergeable-structure family next to KMV (distinct), "
+        "Count-Min (frequency), and bottom-k (quantiles). The scale role: "
+        "front-line of cross-crawl incremental dedup — probe a batch "
+        "against the historical index's <= m bit positions (broadcast "
+        "join) and pay the exact anti-join only for probable hits; no "
+        "false negatives ever. Built from the seeded md5_60 like the CMS "
+        "grid, so the oracle rebuilds the identical bits and probes; "
+        "in_index is the visible ground truth (every in_index=1 row MUST "
+        "show maybe_present=1).",
+)
+def q66(spark, sf_dir):
+    from .analysis import bloom_bits, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    idx = d.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+        F.col("text").alias("k"))
+    bits = bloom_bits(idx, key="k", m=_BLOOM_M, d=_BLOOM_D)
+    probed = bloom_probe(d, bits, id_col="doc_id", key=F.col("text"),
+                         m=_BLOOM_M, d=_BLOOM_D)
+    return probed.withColumn(
+        "in_index", (F.pmod("doc_id", F.lit(4)) == 0).cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

@@ -298,3 +298,20 @@ def test_pack_sequences_matches_bruteforce(spark):
             off += toks
     # a 260-token doc in a 100-token context spans >= 3 chunks
     assert any(r["n_chunks"] >= 3 for r in got.values())
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from webextract.analysis import bloom_bits, bloom_probe
+
+    rows = [(i, f"member document {i}") for i in range(200)] + \
+           [(1000 + i, f"outside document {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    members = df.filter("rid < 1000")
+    bits = bloom_bits(members, key="k", m=4096, d=5)
+    probed = {r["rid"]: r["maybe_present"] for r in bloom_probe(
+        df, bits, id_col="rid", key="k", m=4096, d=5).collect()}
+    # NEVER a false negative
+    assert all(probed[i] == 1 for i in range(200))
+    # false positives bounded: 200*5 set bits of 4096 → fp ~ (0.22)^5 ≈ 5e-4
+    fps = sum(probed[1000 + i] for i in range(200))
+    assert fps <= 5, fps
