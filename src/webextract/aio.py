@@ -115,12 +115,16 @@ def enrich_df(df: DataFrame, client_factory: Callable[[], Any], *,
     out_names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        client = client_factory()
-        # ONE event loop for the task's whole lifetime: loop-bound clients
-        # (aiohttp ClientSession, httpx AsyncClient — the real-seam
-        # implementations) create connections tied to the running loop, so
-        # a per-batch asyncio.run() would hand batch 2+ a closed loop
+        # ONE event loop for the task's whole lifetime, INSTALLED as the
+        # thread's current loop BEFORE the client is constructed: loop-bound
+        # clients (aiohttp ClientSession, httpx AsyncClient — the real-seam
+        # implementations) resolve get_event_loop() at construction, and a
+        # client bound to any other loop would fail every call with
+        # "attached to a different loop" (which per-row isolation would
+        # silently convert to 100% error rows)
         loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        client = None
 
         async def one(sem: asyncio.Semaphore, text: str):
             async with sem:
@@ -137,6 +141,7 @@ def enrich_df(df: DataFrame, client_factory: Callable[[], Any], *,
             return await asyncio.gather(*[one(sem, t) for t in texts])
 
         try:
+            client = client_factory()
             for pdf in batches:
                 results = loop.run_until_complete(drive(list(pdf[text_col])))
                 pdf = pdf.copy()
@@ -145,6 +150,19 @@ def enrich_df(df: DataFrame, client_factory: Callable[[], Any], *,
                 pdf[error_col] = [r[2] for r in results]
                 yield pdf[out_names]
         finally:
+            # shut the client's connection pool down BEFORE the loop dies —
+            # otherwise every finished task leaks its sockets until GC
+            if client is not None:
+                close = getattr(client, "aclose", None) \
+                    or getattr(client, "close", None)
+                if close is not None:
+                    try:
+                        r = close()
+                        if asyncio.iscoroutine(r):
+                            loop.run_until_complete(r)
+                    except Exception:  # noqa: BLE001 — best-effort shutdown
+                        pass
+            asyncio.set_event_loop(None)
             loop.close()
 
     return df.mapInPandas(run, schema=out_schema)

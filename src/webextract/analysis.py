@@ -544,13 +544,16 @@ def bottomk_quantiles(df: DataFrame, *, group_col: str, value_col: str,
                .withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") <= k).drop("_rn", "_h"))
     wv = Window.partitionBy(group_col).orderBy(F.asc("_v"), F.asc("_id"))
-    ranked = sampled.withColumn("_i", F.row_number().over(wv) - 1)
-    sizes = sampled.groupBy(group_col).agg(F.count("*").alias("n_sample"))
-    j = ranked.join(sizes, group_col)
+    # n_sample rides along as a whole-partition window count over the SAME
+    # frame the rank uses — a separate aggregate + join would consume the
+    # unpersisted sample twice and recompute the scan + sampling window
+    wn = Window.partitionBy(group_col)
+    ranked = (sampled.withColumn("_i", F.row_number().over(wv) - 1)
+              .withColumn("n_sample", F.count("*").over(wn)))
     aggs = [F.max(F.when(
         F.col("_i") == F.expr(f"((n_sample - 1) * {p}) div 1000"),
         F.col("_v"))).alias(f"p{p}") for p in permilles]
-    return (j.groupBy(group_col, "n_sample").agg(*aggs)
+    return (ranked.groupBy(group_col, "n_sample").agg(*aggs)
             .select(group_col, F.col("n_sample").cast("long").alias("n_sample"),
                     *[F.col(f"p{p}").cast("double") for p in permilles]))
 
@@ -574,13 +577,23 @@ def bloom_bits(df: DataFrame, *, key: "Column | str", m: int = 4096,
     UNION (set-of-positions), and — built from the seeded md5_60 like the
     CMS grid — is bit-reproducible in any engine (q66's oracle).
     """
+    c = F.col(key) if isinstance(key, str) else key
+    pos = df.select(F.explode(_bloom_positions(c, m, d)).alias("pos"))
+    return pos.distinct()
+
+
+def _bloom_positions(c: Column, m: int, d: int) -> Column:
+    """The d bit positions of one key — the SINGLE source of the hashing
+    scheme shared by build and probe (drift between the two would silently
+    break every probe). NULL keys normalize to a reserved sentinel so an
+    indexed NULL still probes present — the no-false-negative contract
+    holds for every key the build side saw, NULL included.
+    """
     from .dedup import HASH_FNS
 
     fn, _ = HASH_FNS["md5_60"]
-    c = F.col(key) if isinstance(key, str) else key
-    pos = df.select(F.explode(F.array(*[
-        F.pmod(fn(c, seed=i), F.lit(m)) for i in range(d)])).alias("pos"))
-    return pos.distinct()
+    k = F.coalesce(c.cast("string"), F.lit("\x00<NULL>"))
+    return F.array(*[F.pmod(fn(k, seed=i), F.lit(m)) for i in range(d)])
 
 
 def bloom_probe(df: DataFrame, bits: DataFrame, *, id_col: str,
@@ -589,12 +602,9 @@ def bloom_probe(df: DataFrame, bits: DataFrame, *, id_col: str,
     iff ALL d bit positions are set (never a false negative; false-positive
     rate ~ (set_bits/m)^d). One explode to d cells per row + one broadcast
     join — the bits side is ≤ m rows by construction."""
-    from .dedup import HASH_FNS
-
-    fn, _ = HASH_FNS["md5_60"]
     c = F.col(key) if isinstance(key, str) else key
-    cells = df.select(F.col(id_col), F.explode(F.array(*[
-        F.pmod(fn(c, seed=i), F.lit(m)) for i in range(d)])).alias("pos"))
+    cells = df.select(F.col(id_col),
+                      F.explode(_bloom_positions(c, m, d)).alias("pos"))
     hit = bits.withColumn("_hit", F.lit(1))
     return (cells.join(F.broadcast(hit), "pos", "left")
             .groupBy(id_col)

@@ -2398,8 +2398,8 @@ _PACK_CAP, _PACK_SHARDS = 8192, 8
            CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PACK_CAP}
                 ELSE off // {_PACK_CAP} END AS BIGINT) AS last_chunk,
            CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PACK_CAP}
-                ELSE off // {_PACK_CAP} END
-                - off // {_PACK_CAP} + 1 AS BIGINT) AS n_chunks
+                     - off // {_PACK_CAP} + 1
+                ELSE 0 END AS BIGINT) AS n_chunks
     FROM ordered
     """,
     doc="SEQUENCE PACKING (sampling.pack_sequences, concat-and-chunk): "

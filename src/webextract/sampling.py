@@ -115,7 +115,9 @@ def pack_sequences(df: DataFrame, *, id_col: str, tokens_col: str,
 
     Returns (id, tokens, shard, offset, first_chunk, last_chunk,
     n_chunks) with offset = token position of the document's first token
-    within its shard's stream and chunks numbered from 0 per shard.
+    within its shard's stream and chunks numbered from 0 per shard. A
+    zero-token document occupies NOTHING: n_chunks = 0, with
+    first_chunk = last_chunk recording the zero-width position.
     """
     from pyspark.sql import Window
 
@@ -133,8 +135,9 @@ def pack_sequences(df: DataFrame, *, id_col: str, tokens_col: str,
     last = F.when(F.col("tokens") > 0,
                   F.expr(f"(_off + tokens - 1) div {capacity}")) \
             .otherwise(first)
+    n_chunks = F.when(F.col("tokens") > 0, last - first + 1).otherwise(0)
     return (base.withColumn("_off", off)
             .select(F.col("id").alias(id_col), "tokens", "shard",
                     F.col("_off").alias("offset"),
                     first.alias("first_chunk"), last.alias("last_chunk"),
-                    (last - first + 1).cast("long").alias("n_chunks")))
+                    n_chunks.cast("long").alias("n_chunks")))

@@ -292,9 +292,10 @@ def test_pack_sequences_matches_bruteforce(spark):
             r = got[rid]
             first = off // cap
             last = (off + toks - 1) // cap if toks > 0 else first
+            n_chunks = (last - first + 1) if toks > 0 else 0
             assert (r["shard"], r["offset"], r["first_chunk"],
                     r["last_chunk"], r["n_chunks"]) == (
-                shard, off, first, last, last - first + 1), rid
+                shard, off, first, last, n_chunks), rid
             off += toks
     # a 260-token doc in a 100-token context spans >= 3 chunks
     assert any(r["n_chunks"] >= 3 for r in got.values())
