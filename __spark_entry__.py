@@ -936,6 +936,12 @@ _VERIFY_FIRST = [
     "q64_quantile_sketch",
     "q65_sequence_packing",
     "q66_bloom_membership",
+    "q67_bm25_retrieval",
+    "q68_semdedup",
+    "q69_domain_reputation",
+    "q70_dsir_importance",
+    "q71_dup_substring_spans",
+    "q72_mixture_weights",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -955,6 +961,11 @@ _VERIFY_LAST = [
     "q11_quality_scores", "q13_exact_dedup", "q14_ngram_jaccard_pairs",
     "q15_cosine_topk", "q16_embedding_near_pairs", "q17_minhash_near_pairs",
     "q18_simhash_fingerprints",
+    # full-oracle green in r3, rotated out to make window room for the new
+    # round-4 operators (q67-q72)
+    "q19_ann_topk", "q26_ivf_topk", "q30_source_profile",
+    "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
+    "q35_gopher_quality_filter",
 ]
 
 

@@ -2469,6 +2469,419 @@ def q66(spark, sf_dir):
         "in_index", (F.pmod("doc_id", F.lit(4)) == 0).cast("int"))
 
 
+# --------------------------------------------------------------------------
+# Round 4 (cont.): retrieval, semantic dedup, domain reputation, DSIR,
+# substring dedup, mixture weights
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = {1: ["hash", "join"], 2: ["window", "agg", "sort"],
+                 3: ["vector", "scan"]}
+_BM25_K = 10
+
+
+def _q67_sql() -> str:
+    from .retrieval import B_X1000, IDF_SCALE, K1_X10, TF_SCALE
+
+    qvals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid, ws in sorted(_BM25_QUERIES.items()) for w in sorted(set(ws)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) // COUNT(*) AS avgdl FROM dl
+    ), words AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), qterms(query_id, w) AS (VALUES {qvals}),
+    post AS (
+      SELECT w, doc_id, COUNT(*) AS tf FROM words
+      WHERE w IN (SELECT w FROM qterms) GROUP BY w, doc_id
+    ), dft AS (
+      SELECT w, COUNT(*) AS df FROM post GROUP BY w
+    ), scored AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(((((s.n_docs - d.df) * {IDF_SCALE}) // (d.df + 1))
+                  * ((p.tf * {TF_SCALE} * {IDF_SCALE})
+                     // (p.tf * {TF_SCALE}
+                         + {K1_X10} * (250 + ({B_X1000} * l.dl) // s.avgdl))))
+                 // {IDF_SCALE}) AS score
+      FROM post p
+      JOIN qterms q USING (w) JOIN dft d USING (w) JOIN dl l USING (doc_id),
+           stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K}
+    """
+
+
+@register(
+    "q67_bm25_retrieval",
+    _q67_sql(),
+    doc="inverted-index ranked retrieval (retrieval.bm25_topk): postings "
+        "(term, doc, tf) built with ONE map-side-combined aggregate over "
+        "only the query vocabulary (the filter precedes the shuffle), df + "
+        "avgdl as broadcast-sized stats, and an INTEGER-EXACT BM25 "
+        "surrogate (k1=1.2, b=0.75 pre-scaled; idf and tf-saturation both "
+        "div-based, q46's no-float-log rule) so scores are bit-reproducible "
+        "across engines and shuffle orders — float BM25 is not. Top-k per "
+        "query is a WindowGroupLimit, never a global sort. At 10^12 docs "
+        "the postings table is written bucketed by term and the idf "
+        "products move to decimal(38,0) (docstring'd in retrieval.py).",
+)
+def q67(spark, sf_dir):
+    from .retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=_BM25_K)
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _q68_sql() -> str:
+    from .ivf_snapshot import IVF_CENTROIDS_SF001 as C
+
+    n = len(C)
+
+    def lits(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dcols = ",\n             ".join(
+        f"list_dot_product(e, {lits(c)}) AS d{i}" for i, c in enumerate(C))
+    case_arms = []
+    for i in range(n - 1):
+        rest = ", ".join(f"d{j}" for j in range(i + 1, n))
+        best = f"greatest({rest})" if i < n - 2 else rest
+        case_arms.append(f"WHEN d{i} >= {best} THEN {i}")
+    cell_case = "CASE " + " ".join(case_arms) + f" ELSE {n - 1} END"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, e,
+             {dcols}
+      FROM v
+    ), assigned AS (
+      SELECT vec_id, e, {cell_case} AS cluster,
+             sqrt(list_dot_product(e, e)) AS nrm
+      FROM d
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT n.vec_id, CAST(n.cluster AS INT) AS cluster,
+           CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM assigned n LEFT JOIN dropped dr ON n.vec_id = dr.vec_id
+    """
+
+
+@register(
+    "q68_semdedup",
+    _q68_sql(),
+    doc="SemDeDup (Abbas et al. 2023) semantic dedup: k-means cluster "
+        "assignment (the q26 served-centroid fold — literal centroids, "
+        "bit-reproducible CASE argmax) + within-cluster cosine pruning via "
+        "the q16/q32-proven blocked self-join; a vector is dropped iff a "
+        "smaller-id cluster-mate sits above tau (min-id dominance — no "
+        "transitive closure needed). Candidate cost is cluster "
+        "co-occupancy, never corpus²; at 10^12 scale the cluster id is the "
+        "partition key and clusters prune independently (the paper's "
+        "design point). Full oracle: every float op has an identical "
+        "DuckDB twin, so cluster ids, cosine compares, and kept flags all "
+        "agree bit-for-bit.",
+)
+def q68(spark, sf_dir):
+    from .ivf_snapshot import IVF_CENTROIDS_SF001
+    from .sim import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, tau=_SEMDEDUP_TAU, centroids=IVF_CENTROIDS_SF001)
+
+
+_REP_SHORT_CHARS = 150      # doc is "short" below this many chars
+_REP_SHORT_PERMILLE = 200   # source tier drops to low above this short rate
+_REP_HIGH_MEAN_X10 = 3000   # mean chars x10 at/above which tier is high
+
+
+_Q69_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         {_MD5_60_SQL.format(x='text')} AS h
+  FROM documents
+), hdup AS (
+  SELECT h FROM k GROUP BY h HAVING COUNT(*) >= 2
+), rep AS (
+  SELECT source, COUNT(*) AS n_docs,
+         (SUM(CASE WHEN h IN (SELECT h FROM hdup) THEN 1 ELSE 0 END) * 1000)
+           // COUNT(*) AS dup_permille,
+         (SUM(CASE WHEN n_chars < {_REP_SHORT_CHARS} THEN 1 ELSE 0 END)
+           * 1000) // COUNT(*) AS short_permille,
+         (SUM(n_chars) * 10) // COUNT(*) AS mean_chars_x10
+  FROM k GROUP BY source
+), tiered AS (
+  SELECT *,
+         CASE WHEN dup_permille > 300 OR short_permille > {_REP_SHORT_PERMILLE}
+                THEN 'low'
+              WHEN mean_chars_x10 >= {_REP_HIGH_MEAN_X10} THEN 'high'
+              ELSE 'mid' END AS tier
+  FROM rep
+)
+SELECT k.doc_id, k.source, t.tier,
+       CAST(t.dup_permille AS BIGINT) AS dup_permille,
+       CAST(t.short_permille AS BIGINT) AS short_permille,
+       CAST(CASE WHEN t.tier = 'low' THEN 0 ELSE 1 END AS INT) AS keep
+FROM k JOIN tiered t USING (source)
+"""
+
+
+@register(
+    "q69_domain_reputation",
+    _Q69_SQL,
+    doc="domain/source reputation gating (the RefinedWeb/C4 domain-level "
+        "filter): per-source signals — exact-dup rate (md5_60 content "
+        "hash), short-doc rate, mean length — aggregated once (integer "
+        "permilles, no float), classified into low/mid/high tiers, then "
+        "BROADCAST-joined back to gate every document. Plan: one "
+        "corpus-sized hash-agg for the dup index, one source-sized "
+        "reputation aggregate, one broadcast join — the per-doc stream "
+        "never shuffles on the gate path. At 10^12 docs the reputation "
+        "table is |domains| (~10^8) rows: still a broadcast at the "
+        "registrable-domain level, else a bucketed join on domain.",
+)
+def q69(spark, sf_dir):
+    from .dedup import HASH_FNS
+
+    h, _ = HASH_FNS["md5_60"]
+    d = _t(spark, sf_dir, "documents")
+    k = d.select("doc_id", "source", "n_chars", h(F.col("text")).alias("h"))
+    hdup = (k.groupBy("h").agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2).select("h"))
+    flagged = (k.join(hdup.withColumn("_dup", F.lit(1)), "h", "left")
+               .withColumn("is_dup", F.coalesce("_dup", F.lit(0))))
+    rep = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(sum(is_dup) * 1000) div count(*)").alias("dup_permille"),
+        F.expr(f"(sum(CASE WHEN n_chars < {_REP_SHORT_CHARS} THEN 1 ELSE 0 "
+               f"END) * 1000) div count(*)").alias("short_permille"),
+        F.expr("(sum(n_chars) * 10) div count(*)").alias("mean_chars_x10"),
+    )
+    tier = (F.when((F.col("dup_permille") > 300)
+                   | (F.col("short_permille") > _REP_SHORT_PERMILLE), "low")
+            .when(F.col("mean_chars_x10") >= _REP_HIGH_MEAN_X10, "high")
+            .otherwise("mid"))
+    tiered = rep.withColumn("tier", tier)
+    return (
+        k.select("doc_id", "source")
+        .join(F.broadcast(tiered), "source")
+        .select("doc_id", "source", "tier",
+                F.col("dup_permille").cast("long").alias("dup_permille"),
+                F.col("short_permille").cast("long").alias("short_permille"),
+                F.when(F.col("tier") == "low", 0).otherwise(1)
+                .cast("int").alias("keep"))
+    )
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_MOD = 20  # doc_id % MOD == 0 docs define the target distribution
+
+
+_Q70_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), words AS (
+  SELECT doc_id, ({_MD5_60_SQL.format(x='unnest(t)')}) % {_DSIR_BUCKETS} AS b
+  FROM toks
+), raw AS (
+  SELECT b, COUNT(*) AS raw_c FROM words GROUP BY b
+), tgt AS (
+  SELECT b, COUNT(*) AS tgt_c FROM words
+  WHERE doc_id % {_DSIR_TARGET_MOD} = 0 GROUP BY b
+)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(((coalesce(t.tgt_c, 0) + 1) * 1000000) // (r.raw_c + 1))
+            // COUNT(*) AS BIGINT) AS weight_x1e6
+FROM words w JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+GROUP BY w.doc_id
+"""
+
+
+@register(
+    "q70_dsir_importance",
+    _Q70_SQL,
+    doc="DSIR importance weighting (Xie et al. 2023, Data Selection via "
+        "Importance Resampling): documents scored by how much their hashed "
+        "unigram distribution resembles a target subset (here doc_id % 20 "
+        "== 0, the q60 convention) vs the raw corpus — the likelihood "
+        "ratio surrogate sum((tgt[b]+1)*1e6 div (raw[b]+1)) div n_tokens, "
+        "integer-exact with add-one smoothing, no float log. Plan: tokens "
+        "hash into a FIXED 4096-bucket feature space, so both frequency "
+        "tables are bounded broadcasts at any corpus size; the per-doc "
+        "score is one map-side-combined aggregate over the token stream. "
+        "High scores -> resample toward the target domain.",
+)
+def q70(spark, sf_dir):
+    from .dedup import HASH_FNS
+
+    h, _ = HASH_FNS["md5_60"]
+    d = _t(spark, sf_dir, "documents")
+    words = (d.filter(F.length(F.trim("text")) > 0)
+             .select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+             .select("doc_id",
+                     F.pmod(h(F.col("w")), F.lit(_DSIR_BUCKETS)).alias("b")))
+    raw = words.groupBy("b").agg(F.count("*").alias("raw_c"))
+    tgt = (words.filter(F.pmod("doc_id", F.lit(_DSIR_TARGET_MOD)) == 0)
+           .groupBy("b").agg(F.count("*").alias("tgt_c")))
+    return (
+        words.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.expr("sum(((coalesce(tgt_c, 0) + 1) * 1000000) div "
+                    "(raw_c + 1)) div count(*)")
+             .cast("long").alias("weight_x1e6"))
+    )
+
+
+_SUBSTR_K = 8
+
+
+_Q71_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sized AS (
+  SELECT id, len(t) AS n_tokens, t FROM toks
+), grams AS (
+  SELECT id, i - 1 AS start,
+         {_MD5_60_SQL.format(
+             x="concat_ws(chr(95), t[i], t[i+1], t[i+2], t[i+3], t[i+4], "
+               "t[i+5], t[i+6], t[i+7])")} AS gh
+  FROM (
+    SELECT id, t, unnest(range(1, n_tokens - {_SUBSTR_K} + 2)) AS i
+    FROM sized WHERE n_tokens >= {_SUBSTR_K}
+  )
+), dupg AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+), pos AS (
+  SELECT id, start, start + {_SUBSTR_K} AS fin FROM grams
+  WHERE gh IN (SELECT gh FROM dupg)
+), isl AS (
+  SELECT id, start, fin,
+         CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+              THEN 1 ELSE 0 END AS new_island
+  FROM (
+    SELECT id, start, fin,
+           MAX(fin) OVER (PARTITION BY id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_end
+    FROM pos
+  )
+), grp AS (
+  SELECT id, start, fin,
+         SUM(new_island) OVER (PARTITION BY id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), cov AS (
+  SELECT id, SUM(covered) AS covered_tokens FROM (
+    SELECT id, island, MAX(fin) - MIN(start) AS covered
+    FROM grp GROUP BY id, island
+  ) GROUP BY id
+)
+SELECT s.id AS doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST((coalesce(c.covered_tokens, 0) * 1000) // s.n_tokens AS BIGINT)
+         AS dup_permille
+FROM sized s LEFT JOIN cov c ON s.id = c.id
+"""
+
+
+@register(
+    "q71_dup_substring_spans",
+    _Q71_SQL,
+    doc="duplicated-substring coverage (dedup.dup_substring_spans — the "
+        "distributed surrogate of Lee et al. 2022's ExactSubstr suffix "
+        "array): every token position whose 8-token window repeats "
+        "anywhere in the corpus is marked, per-doc [start, start+8) "
+        "intervals merge with ONE gaps-and-islands window, and the doc "
+        "reports its duplicated-token fraction. The corpus-sized shuffle "
+        "carries (60-bit gram hash, position) only — text never moves; "
+        "the interval window partitions by doc over just the duplicated "
+        "positions. Oracle via the portable md5_60 gram hash.",
+)
+def q71(spark, sf_dir):
+    from .dedup import dup_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_substring_spans(d, k=_SUBSTR_K, hash_fn="md5_60")
+
+
+_MIX_QUOTA = 100_000
+
+
+_Q72_SQL = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, total_chars,
+         CAST(FLOOR(SQRT(total_chars)) AS BIGINT) AS weight
+  FROM s
+), tot AS (
+  SELECT SUM(weight) AS wsum FROM w
+)
+SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+       CAST(w.total_chars AS BIGINT) AS total_chars,
+       CAST(w.weight AS BIGINT) AS weight,
+       CAST((w.weight * {_MIX_QUOTA}) // t.wsum AS BIGINT) AS quota_ppm
+FROM w, tot t
+"""
+
+
+@register(
+    "q72_mixture_weights",
+    _Q72_SQL,
+    doc="temperature-scaled source mixture weights (the multinomial "
+        "alpha=0.5 sampling rule of multilingual/multi-corpus pretraining, "
+        "Conneau & Lample 2019): per-source mass^alpha via floor(sqrt) — "
+        "exact across engines because IEEE sqrt is correctly rounded and "
+        "the integer gap exceeds one ulp below ~2^52 (above that, switch "
+        "to a decimal isqrt; shape unchanged) — normalized to an integer "
+        "ppm quota with div. Plan: one source-sized aggregate + one "
+        "scalar-broadcast normalization; downstream sampling consumes the "
+        "quota with sampling.hash_sample (q38's deterministic gate).",
+)
+def q72(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"),
+                                F.sum("n_chars").alias("total_chars"))
+    w = s.withColumn("weight",
+                     F.floor(F.sqrt(F.col("total_chars"))).cast("long"))
+    tot = w.agg(F.sum("weight").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("total_chars").cast("long").alias("total_chars"),
+                F.col("weight").cast("long").alias("weight"),
+                F.expr(f"(weight * {_MIX_QUOTA}) div wsum")
+                .cast("long").alias("quota_ppm"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

@@ -287,3 +287,49 @@ def pairwise_near(df: DataFrame, *, tau: float, vec_col: str = "embedding",
         .filter(F.col("cosine") >= tau)
         .distinct()
     )
+
+
+def semdedup(df: DataFrame, *, tau: float,
+             centroids: list[list[float]] | None = None,
+             n_centroids: int = 8, n_iter: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 7) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster +
+    within-cluster cosine pruning.
+
+    A vector is DROPPED iff some other vector in its cluster has cosine
+    >= ``tau`` with it and a smaller id — the deterministic "min-id
+    dominates" rule, which needs no transitive closure (every above-``tau``
+    pair resolves locally: the larger id loses). Returns one row per input
+    vector: (id, cluster, kept int).
+
+    Scale shape: cluster assignment is the IVF fold (all-JVM, bit
+    reproducible with literal ``centroids``; trains a deterministic k-means
+    when none are given); the pairwise stage is :func:`pairwise_near`'s
+    blocked self-join ON THE CLUSTER KEY, so candidate cost is bounded by
+    cluster co-occupancy, never corpus². At 10^12 scale the cluster id is
+    the partition key and each cluster prunes independently — SemDeDup's
+    published design point (clusters sized to fit one worker). The k-means
+    centroid count grows as sqrt(corpus) to keep clusters bounded; the
+    dominance rule keeps exactly one representative per tight semantic
+    neighborhood (the min id; swap the id for a quality column upstream to
+    keep the best copy, as pipeline.curate does for text near-dup).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_centroids=n_centroids,
+                                     n_iter=n_iter, vec_col=vec_col,
+                                     id_col=id_col, seed=seed)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign_expr(centroids, vec_col).alias("cluster"),
+    )
+    pairs = pairwise_near(assigned, tau=tau, vec_col=vec_col, id_col=id_col,
+                          block_col="cluster")
+    # id_b is dominated (some same-cluster id_a < id_b with cos >= tau)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+        .select(id_col, "cluster",
+                F.when(F.col("_drop").isNull(), 1).otherwise(0)
+                .cast("int").alias("kept"))
+    )
