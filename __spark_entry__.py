@@ -942,6 +942,7 @@ _VERIFY_FIRST = [
     "q70_dsir_importance",
     "q71_dup_substring_spans",
     "q72_mixture_weights",
+    "q73_pretrain_prep",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -965,7 +966,7 @@ _VERIFY_LAST = [
     # round-4 operators (q67-q72)
     "q19_ann_topk", "q26_ivf_topk", "q30_source_profile",
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
-    "q35_gopher_quality_filter",
+    "q35_gopher_quality_filter", "q39_repetition_signals",
 ]
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import HASH_FNS
+
 
 def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
            default_permille: int = 1000, dedup_hash: str = "xxhash64",
@@ -157,3 +159,106 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     else:
         report["final"] = survivors.count()
     return survivors, report
+
+
+def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
+                  capacity: int = 2048, shards: int = 32, gram_n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  source_col: str = "source",
+                  hash_fn: str = "md5_60") -> tuple[DataFrame, dict[str, int]]:
+    """The composed pretraining-data prep recipe: curated docs →
+    benchmark decontamination → temperature-rebalanced source mix →
+    sequence packing. The second end-to-end recipe (after :func:`curate`):
+    everything between a curated corpus and a pretraining dataloader,
+    assembled from the operator library — every stage is the library call.
+
+        docs ──decontaminate──► clean      (q60's gram-overlap drop vs
+                                            ``bench``'s hashed n-gram index)
+             ──rebalance──► mixed          (q72's alpha=0.5 temperature
+                                            quotas → per-source hash gate)
+             ──pack──► chunk assignment    (sampling.pack_sequences)
+
+    Rebalancing: per-source token mass m_i gets weight w_i = isqrt(m_i);
+    the keep rate is ``min(1000, (w_i * sum_m * 1000) div (sum_w * m_i))``
+    permille — sources above their temperature share are hash-downsampled,
+    sources at/below keep everything (this recipe never upsamples).
+    Zero-token sources keep rate 1000 (nothing to rebalance). All integer
+    arithmetic; the gate is the hash_bucket(id) rule, so membership is
+    deterministic and stable under corpus growth.
+
+    Scale shape: the benchmark gram index is hashed 60-bit keys and
+    BROADCASTS (eval sets are tiny vs the corpus); the rate table is
+    |sources| rows and broadcasts; packing is the q65 hash-sharded
+    running sum (no global window). One corpus-sized shuffle total (the
+    per-doc gram dedup inside decontamination) before the packing
+    exchange on the shard key.
+
+    Returns (packed assignment: one row per surviving doc with
+    (id, source, tokens, shard, offset, first_chunk, last_chunk,
+    n_chunks), per-stage report). Stage boundaries are persisted like
+    :func:`curate`; ``unpersist()`` the result after the final write.
+    """
+    from .sampling import hash_bucket, pack_sequences
+
+    report: dict[str, int] = {}
+    fn, _ = HASH_FNS[hash_fn]
+
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(source_col).alias("source"),
+                       toks.alias("_t")) \
+               .withColumn("n_tokens", F.size("_t").cast("long")) \
+               .persist()
+    report["input"] = base.count()
+
+    # --- decontamination: drop docs sharing any n-gram with the bench ----
+    gram = F.expr(
+        f"transform(sequence(0, size(_t) - {gram_n}), i -> "
+        f"concat_ws('_', {', '.join(f'_t[i+{j}]' for j in range(gram_n))}))")
+
+    def _grams(d):
+        return (d.filter(F.size("_t") >= gram_n)
+                 .select("id", F.explode(gram).alias("g"))
+                 .select("id", fn(F.col("g")).alias("gh")).distinct())
+
+    bench_toks = bench.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(text_col), r"\s+").alias("_t"))
+    bench_idx = _grams(bench_toks).select("gh").distinct()
+    hits = (_grams(base).join(F.broadcast(bench_idx), "gh")
+            .select("id").distinct())
+    clean = base.join(hits, "id", "left_anti").drop("_t").persist()
+    report["after_decontamination"] = clean.count()
+    base.unpersist()
+
+    # --- temperature rebalance: alpha=0.5 quota per source ---------------
+    mass = clean.groupBy("source").agg(F.sum("n_tokens").alias("m"))
+    tot = mass.agg(F.sum("m").alias("sum_m"),
+                   F.sum(F.floor(F.sqrt("m")).cast("long")).alias("sum_w"))
+    rates = (mass.crossJoin(F.broadcast(tot))
+             .withColumn("w", F.floor(F.sqrt("m")).cast("long"))
+             .withColumn(
+                 "rate",
+                 F.when(F.col("m") == 0, F.lit(1000)).otherwise(
+                     F.least(F.lit(1000),
+                             F.expr("(w * sum_m * 1000) div (sum_w * m)")))
+                 .cast("int"))
+             .select("source", "rate"))
+    mixed = (clean.join(F.broadcast(rates), "source")
+             .filter(hash_bucket("id", buckets=1000, hash_fn=hash_fn)
+                     < F.col("rate"))
+             .persist())
+    report["after_rebalance"] = mixed.count()
+    clean.unpersist()
+
+    # --- sequence packing -------------------------------------------------
+    packed = pack_sequences(mixed.select("id", "n_tokens"), id_col="id",
+                            tokens_col="n_tokens", capacity=capacity,
+                            shards=shards, hash_fn=hash_fn)
+    out = (mixed.select("id", "source")
+           .join(packed, "id")
+           .select(F.col("id").alias(id_col), "source", "tokens", "shard",
+                   "offset", "first_chunk", "last_chunk", "n_chunks"))
+    return out, report

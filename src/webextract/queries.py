@@ -2882,6 +2882,100 @@ def q72(spark, sf_dir):
     )
 
 
+_PREP_CAP = 2048
+_PREP_SHARDS = 32
+_PREP_GRAM_N = 5
+_PREP_BENCH_MOD = 20
+
+
+def _q73_sql() -> str:
+    g = _md5h_sql(
+        "concat_ws(chr(95), " +
+        ", ".join(f"t[i+{j}]" for j in range(_PREP_GRAM_N)) + ")")
+    idh = _md5h_sql("CAST(id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, source,
+             string_split_regex(trim(text), '\\s+') AS t,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT id, {g} AS gh
+      FROM (
+        SELECT id, t, unnest(range(1, n_tokens - {_PREP_GRAM_N} + 2)) AS i
+        FROM base WHERE n_tokens >= {_PREP_GRAM_N}
+      )
+    ), bench_idx AS (
+      SELECT DISTINCT gh FROM grams WHERE id % {_PREP_BENCH_MOD} = 0
+    ), hits AS (
+      SELECT DISTINCT id FROM grams WHERE gh IN (SELECT gh FROM bench_idx)
+    ), clean AS (
+      SELECT id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.id = b.id)
+    ), mass AS (
+      SELECT source, SUM(n_tokens) AS m FROM clean GROUP BY source
+    ), tot AS (
+      SELECT SUM(m) AS sum_m,
+             SUM(CAST(FLOOR(SQRT(m)) AS BIGINT)) AS sum_w
+      FROM mass
+    ), rates AS (
+      SELECT source,
+             CASE WHEN m = 0 THEN 1000
+                  ELSE LEAST(1000, (CAST(FLOOR(SQRT(m)) AS BIGINT)
+                                    * t.sum_m * 1000) // (t.sum_w * m))
+             END AS rate
+      FROM mass, tot t
+    ), mixed AS (
+      SELECT c.id, c.source, c.n_tokens AS tokens, ({idh}) AS hh
+      FROM clean c JOIN rates r USING (source)
+      WHERE ({idh}) % 1000 < r.rate
+    ), ordered AS (
+      SELECT id, source, tokens, hh % {_PREP_SHARDS} AS shard,
+             SUM(tokens) OVER (PARTITION BY hh % {_PREP_SHARDS}
+                               ORDER BY hh, id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS off
+      FROM mixed
+    )
+    SELECT id AS doc_id, source, tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(off // {_PREP_CAP} AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PREP_CAP}
+                ELSE off // {_PREP_CAP} END AS BIGINT) AS last_chunk,
+           CAST(CASE WHEN tokens > 0 THEN (off + tokens - 1) // {_PREP_CAP}
+                     - off // {_PREP_CAP} + 1
+                ELSE 0 END AS BIGINT) AS n_chunks
+    FROM ordered
+    """
+
+
+@register(
+    "q73_pretrain_prep",
+    _q73_sql(),
+    doc="the composed PRETRAINING-DATA PREP recipe (pipeline.pretrain_prep "
+        "— the second end-to-end recipe after pipeline.curate): "
+        "decontaminate vs a benchmark's hashed 5-gram index (q60's "
+        "broadcast-overlap drop), rebalance sources to alpha=0.5 "
+        "temperature quotas (q72's isqrt weights -> integer permille keep "
+        "rates -> q38's deterministic hash gate; downsample-only), then "
+        "pack the survivors into 2048-token training chunks over 32 "
+        "hash-sharded streams (q65's running-sum assignment, no global "
+        "window). Every stage is the library operator; the oracle "
+        "re-derives the whole composition in one DuckDB query, so stage "
+        "interactions (who got dropped, at what rate, landing where) are "
+        "checked end-to-end, not just per-stage.",
+)
+def q73(spark, sf_dir):
+    from .pipeline import pretrain_prep
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod("doc_id", F.lit(_PREP_BENCH_MOD)) == 0)
+    out, _report = pretrain_prep(d, bench, capacity=_PREP_CAP,
+                                 shards=_PREP_SHARDS, gram_n=_PREP_GRAM_N)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

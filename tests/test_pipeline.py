@@ -53,3 +53,69 @@ def test_near_dup_keeps_best_copy(spark):
     cluster_kept = [u for u in kept if u != "http://ex.org/z"]
     assert cluster_kept == ["http://ex.org/a"], (kept, report)
     assert report["after_near_dedup"] == 2, report
+
+
+def test_pretrain_prep_end_to_end(spark):
+    from webextract.pipeline import pretrain_prep
+
+    long_a = " ".join(f"a{i}" for i in range(40))
+    bench_text = " ".join(f"benched{i}" for i in range(10))
+    rows = [
+        # src_big: 6 long docs (dominates token mass -> downsampled)
+        *[(i, long_a + f" uniq{i} " + " ".join(f"x{i}_{j}" for j in range(20)),
+           "src_big") for i in range(6)],
+        # src_small: 2 short docs (at/below temperature share -> kept fully)
+        (10, "small doc one with some words here", "src_small"),
+        (11, "small doc two with other words here", "src_small"),
+        # contaminated: shares a 5-gram with the benchmark
+        (12, bench_text + " trailing words", "src_small"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(99, bench_text, "bench")],
+                                  "doc_id long, text string, source string")
+    out, report = pretrain_prep(docs, bench, capacity=16, shards=4)
+    got = {r.doc_id: r for r in out.collect()}
+
+    assert report["input"] == 9
+    assert report["after_decontamination"] == 8  # only doc 12 dropped
+    assert 12 not in got
+    assert report["after_rebalance"] == len(got) <= 8
+    # the small source is never downsampled (rate clamps at 1000)
+    assert 10 in got and 11 in got
+    # packing invariants: offsets are a per-shard prefix sum of tokens
+    by_shard = {}
+    for r in got.values():
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r.offset)
+        run = 0
+        for r in rs:
+            assert r.offset == run
+            run += r.tokens
+            assert r.first_chunk == r.offset // 16
+            if r.tokens > 0:
+                assert r.last_chunk == (r.offset + r.tokens - 1) // 16
+                assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+
+
+def test_pretrain_prep_rebalance_rates_are_downsample_only(spark):
+    from webextract.pipeline import pretrain_prep
+
+    # one dominant source against NINE tiny ones: the temperature rate for
+    # the big source is decisively below 1000 (with only one tiny peer the
+    # sqrt shares nearly cancel and the rate hovers near 1000 — hash luck
+    # can then keep everything), while every tiny source clamps at 1000
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(50)), "big")
+            for i in range(40)]
+    rows += [(100 + s * 10 + i, f"tiny doc {s} {i} few words", f"tiny{s}")
+             for s in range(9) for i in range(1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(999, "zz qq pp rr ss tt", "b")],
+                                  "doc_id long, text string, source string")
+    out, report = pretrain_prep(docs, bench, capacity=64, shards=4)
+    srcs = {r.doc_id: r.source for r in out.collect()}
+    n_big = sum(1 for s in srcs.values() if s == "big")
+    n_tiny = sum(1 for s in srcs.values() if s.startswith("tiny"))
+    assert n_tiny == 9, "tiny sources must keep everything"
+    assert n_big < 40, "dominant source must be downsampled"
+    assert report["after_decontamination"] == 49  # bench shares no grams
