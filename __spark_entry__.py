@@ -943,6 +943,9 @@ _VERIFY_FIRST = [
     "q71_dup_substring_spans",
     "q72_mixture_weights",
     "q73_pretrain_prep",
+    "q74_hybrid_rrf_fusion",
+    "q75_adaptive_quantile_gate",
+    "q76_group_aware_split",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -967,6 +970,7 @@ _VERIFY_LAST = [
     "q19_ann_topk", "q26_ivf_topk", "q30_source_profile",
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
     "q35_gopher_quality_filter", "q39_repetition_signals",
+    "q40_top_terms_by_source", "q41_pii_redaction", "q43_asof_join",
 ]
 
 

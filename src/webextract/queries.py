@@ -2976,6 +2976,191 @@ def q73(spark, sf_dir):
     return out
 
 
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_SCALE = 1_000_000
+_RRF_TOPN = 20       # depth of each input list
+_RRF_OUT = 10
+
+
+def _q74_sql() -> str:
+    bm25 = _q67_sql()
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, rank FROM ({bm25}) WHERE query_id = 1
+    ), cos AS (
+      -- raw-cosine ordering matches sim.cosine_topk exactly: the fold
+      -- doubles are bit-identical across engines, so no rounding needed
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM (
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               list_dot_product(list_transform(e.embedding,
+                                               x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM embeddings e, q WHERE e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT {_RRF_TOPN}
+      )
+    ), fused AS (
+      SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+             coalesce(({_RRF_SCALE} // ({_RRF_K} + bm.rank)), 0)
+               + coalesce(({_RRF_SCALE} // ({_RRF_K} + cos.rank)), 0)
+               AS rrf_score,
+             CAST(coalesce(bm.rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(coalesce(cos.rank, 0) AS BIGINT) AS cosine_rank
+      FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+    )
+    SELECT doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+           bm25_rank, cosine_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@register(
+    "q74_hybrid_rrf_fusion",
+    _q74_sql(),
+    doc="hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+        "2009): the BM25 lexical list (q67, query 1) and the cosine "
+        "embedding list (q15's brute-force top-k as the dense retriever, "
+        "vec_id joined as doc_id — the standard doc<->embedding "
+        "alignment) merge by rrf = sum(1e6 div (60 + rank)) — "
+        "integer-exact, engine-reproducible, and rank-only (RRF's whole "
+        "point: no score calibration across retrievers). Plan: both "
+        "lists are top-N (bounded) before the FULL OUTER fuse, so the "
+        "fusion cost is O(N), independent of corpus size; at scale each "
+        "retriever list arrives pre-cut from its own index.",
+)
+def q74(spark, sf_dir):
+    from .retrieval import bm25_topk
+    from .sim import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = (bm25_topk(d, {1: _BM25_QUERIES[1]}, k=_RRF_TOPN)
+          .select("doc_id", F.col("rank").cast("long").alias("bm_rank")))
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).first().embedding]
+    cos = (cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=_RRF_TOPN)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.row_number().over(
+                       W.orderBy(F.col("cosine").desc(), "vec_id"))
+                   .cast("long").alias("cos_rank")))
+    fused = (bm.join(cos, "doc_id", "full_outer")
+             .select(
+                 "doc_id",
+                 (F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + bm_rank)"),
+                             F.lit(0))
+                  + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + cos_rank)"),
+                               F.lit(0))).cast("long").alias("rrf_score"),
+                 F.coalesce("bm_rank", F.lit(0)).cast("long")
+                 .alias("bm25_rank"),
+                 F.coalesce("cos_rank", F.lit(0)).cast("long")
+                 .alias("cosine_rank")))
+    return (fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+            .limit(_RRF_OUT))
+
+
+_ADAPT_PERMILLE = 100  # drop the bottom 10% by the metric
+
+
+_Q75_SQL = f"""
+WITH hist AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+), n AS (
+  SELECT SUM(c) AS n_docs FROM hist
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM hist
+), thr AS (
+  SELECT MIN(v) AS threshold FROM cum, n
+  WHERE cum_c * 1000 >= n.n_docs * {_ADAPT_PERMILLE}
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(t.threshold AS BIGINT) AS threshold,
+       CAST(d.n_chars >= t.threshold AS INT) AS keep
+FROM documents d, thr t
+"""
+
+
+@register(
+    "q75_adaptive_quantile_gate",
+    _Q75_SQL,
+    doc="data-dependent quality gating: the filter threshold is the "
+        "corpus's own 10th percentile of the metric (here n_chars), "
+        "computed as an EXACT ordinal statistic — the smallest value whose "
+        "running count covers 10% of docs — then broadcast back as a gate. "
+        "The adaptive twin of q35's fixed Gopher thresholds: recalibrates "
+        "per corpus/dump instead of hard-coding. Plan: a value-histogram "
+        "aggregate (|distinct metric values| rows — metrics are bucketed "
+        "ints at scale, so this is bounded), ONE running-sum window over "
+        "that small relation (never over docs), a scalar threshold "
+        "broadcast to the gate — the per-doc path has zero exchanges. "
+        "Integer cross-multiplication (cum*1000 >= n*permille) keeps the "
+        "rank rule float-free and engine-exact.",
+)
+def q75(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum_c", F.sum("c").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)))
+    n = hist.agg(F.sum("c").alias("n_docs"))
+    thr = (cum.crossJoin(F.broadcast(n))
+           .filter(F.col("cum_c") * 1000 >= F.col("n_docs") * _ADAPT_PERMILLE)
+           .agg(F.min("v").alias("threshold")))
+    return (d.crossJoin(F.broadcast(thr))
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("threshold").cast("long").alias("threshold"),
+                    (F.col("n_chars") >= F.col("threshold")).cast("int")
+                    .alias("keep")))
+
+
+_SPLIT_BUCKETS = 10  # hash(source) % 10 -> 0-7 train, 8 val, 9 test
+
+
+_Q76_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ({_MD5_60_SQL.format(x='source')}) % {_SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "q76_group_aware_split",
+    _Q76_SQL,
+    doc="leakage-safe train/val/test assignment: the split is decided by "
+        "hash(SOURCE), not hash(doc) — every document from one "
+        "source/domain lands in the same split, so near-duplicate pages "
+        "from a single site can never straddle train and eval (the "
+        "group-aware split rule of ML hygiene; a per-doc split leaks "
+        "templates). Zero shuffles — one codegen'd projection; "
+        "deterministic and stable as the corpus grows (q38's hash-gate "
+        "property, applied at the group key).",
+)
+def q76(spark, sf_dir):
+    from .sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket("source", buckets=_SPLIT_BUCKETS, hash_fn="md5_60")
+    return d.select(
+        "doc_id", "source",
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test")
+        .alias("split"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 
