@@ -128,6 +128,24 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Run the composed pretraining-data prep recipe
+    (webextract.pipeline.pretrain_prep): decontaminate against a benchmark
+    parquet, temperature-rebalance sources, pack into training chunks."""
+    from .pipeline import pretrain_prep
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench)
+    out, report = pretrain_prep(
+        docs, bench, capacity=args.capacity, shards=args.shards,
+        gram_n=args.gram_n, text_col=args.text_col, id_col=args.id_col,
+        source_col=args.source_col)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "stages": report}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="webextract")
     ap.add_argument("--master", default=None)
@@ -170,6 +188,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--default-permille", type=int, default=1000)
     c.add_argument("--no-near-dup", action="store_true")
 
+    p = sub.add_parser(
+        "prep", help="decontaminate + rebalance + pack for pretraining")
+    p.add_argument("--input", required=True, help="curated docs parquet")
+    p.add_argument("--bench", required=True,
+                   help="benchmark/eval-set parquet (same text column)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--capacity", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--gram-n", type=int, default=5)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--source-col", default="source")
+
     v = sub.add_parser("evaluate", help="evaluate a finished run against truth")
     v.add_argument("--extracted-root", required=True)
     v.add_argument("--run-id", required=True)
@@ -180,7 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     return {"synth": cmd_synth, "extract": cmd_extract,
             "reprocess": cmd_reprocess, "evaluate": cmd_evaluate,
-            "curate": cmd_curate}[args.cmd](args)
+            "curate": cmd_curate, "prep": cmd_prep}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -2479,7 +2479,7 @@ _BM25_QUERIES = {1: ["hash", "join"], 2: ["window", "agg", "sort"],
 _BM25_K = 10
 
 
-def _q67_sql() -> str:
+def _q67_sql(k: int = _BM25_K) -> str:
     from .retrieval import B_X1000, IDF_SCALE, K1_X10, TF_SCALE
 
     qvals = ", ".join(
@@ -2520,7 +2520,7 @@ def _q67_sql() -> str:
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rank
       FROM scored
-    ) WHERE rank <= {_BM25_K}
+    ) WHERE rank <= {k}
     """
 
 
@@ -2983,7 +2983,10 @@ _RRF_OUT = 10
 
 
 def _q74_sql() -> str:
-    bm25 = _q67_sql()
+    # the BM25 input list must be cut at the SAME depth the Spark side
+    # uses (TOPN), not q67's display k — a shallower oracle list would
+    # zero out rank-11..20 contributions and only agree by luck
+    bm25 = _q67_sql(k=_RRF_TOPN)
     return f"""
     WITH bm AS (
       SELECT doc_id, rank FROM ({bm25}) WHERE query_id = 1

@@ -86,3 +86,34 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     vals = list(stages.values())
     assert all(a >= b for a, b in zip(vals, vals[1:])) and vals[-1] > 0
     assert spark.read.parquet(out).count() == stages["final"]
+
+
+def test_cli_prep_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from webextract.cli import main
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30)), f"s{i % 3}")
+         for i in range(24)],
+        "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(99, " ".join(f"w3_{j}" for j in range(30)), "b")],
+        "doc_id long, text string, source string")
+    src, bpath, out = (str(tmp_path / d) for d in ("docs", "bench", "packed"))
+    docs.write.parquet(src)
+    bench.write.parquet(bpath)
+    rc = main(["prep", "--input", src, "--bench", bpath, "--output", out,
+               "--capacity", "32", "--shards", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = rep["stages"]
+    assert list(stages) == ["input", "after_decontamination",
+                            "after_rebalance"]
+    # doc 3 shares every 5-gram with the bench doc (same w3_* stream)
+    assert stages["after_decontamination"] == stages["input"] - 1
+    packed = spark.read.parquet(out)
+    assert packed.count() == stages["after_rebalance"] > 0
+    assert set(packed.columns) == {"doc_id", "source", "tokens", "shard",
+                                   "offset", "first_chunk", "last_chunk",
+                                   "n_chunks"}
