@@ -237,13 +237,18 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     mass = clean.groupBy("source").agg(F.sum("n_tokens").alias("m"))
     tot = mass.agg(F.sum("m").alias("sum_m"),
                    F.sum(F.floor(F.sqrt("m")).cast("long")).alias("sum_w"))
+    # the rate product is computed in decimal(38,0): w * sum_m * 1000
+    # wraps int64 already at a ~4e10-token corpus (w ~ sqrt(m) ~ 2e5 times
+    # sum_m ~ 5e10 times 1000), far below pretraining scale — a silent
+    # wrap would turn the rate negative and drop the source entirely
+    rate_expr = ("CAST((CAST(w AS DECIMAL(38,0)) * sum_m * 1000) div "
+                 "(CAST(sum_w AS DECIMAL(38,0)) * m) AS BIGINT)")
     rates = (mass.crossJoin(F.broadcast(tot))
              .withColumn("w", F.floor(F.sqrt("m")).cast("long"))
              .withColumn(
                  "rate",
                  F.when(F.col("m") == 0, F.lit(1000)).otherwise(
-                     F.least(F.lit(1000),
-                             F.expr("(w * sum_m * 1000) div (sum_w * m)")))
+                     F.least(F.lit(1000).cast("long"), F.expr(rate_expr)))
                  .cast("int"))
              .select("source", "rate"))
     mixed = (clean.join(F.broadcast(rates), "source")
@@ -260,5 +265,12 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     out = (mixed.select("id", "source")
            .join(packed, "id")
            .select(F.col("id").alias(id_col), "source", "tokens", "shard",
-                   "offset", "first_chunk", "last_chunk", "n_chunks"))
+                   "offset", "first_chunk", "last_chunk", "n_chunks")
+           .persist())
+    # the RETURNED frame is the persisted one (curate's contract: the
+    # caller's documented unpersist() must actually free the cache, and a
+    # derived-frame unpersist would be a silent no-op); materialize it
+    # before releasing the parent so the packed count is also audited
+    report["packed"] = out.count()
+    mixed.unpersist()
     return out, report

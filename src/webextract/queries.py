@@ -1802,18 +1802,13 @@ def q19(spark, sf_dir):
 _IVF_NPROBE, _IVF_K = 3, 20
 
 
-def _q26_sql() -> str:
-    """DuckDB twin of the served-index IVF path (q19's literal trick applied
-    to a trained model): the L2-normalized centroids from
-    :mod:`webextract.ivf_snapshot` are embedded as literals in BOTH engines,
-    cell assignment is a first-max CASE over sequential-fold dots (bit-equal
-    to sim.ivf_assign_expr), probe ranking orders cells by dot(centroid,
-    query) with the same tie-break, and the final cosine is the q15-proven
-    list_dot_product form — every float op has an identical twin, so rows,
-    cells, and hashes all agree.
-    """
-    from .ivf_snapshot import IVF_CENTROIDS_SF001 as C
-
+def _centroid_case_sql(C: list[list[float]]):
+    """(dcols, cell_case, lits) for a literal-centroid CASE argmax over a
+    relation exposing the vector as ``e`` — the SINGLE DuckDB twin of
+    sim.ivf_assign_expr's first-max tie-break (``>=``, lowest index wins).
+    q26 (IVF probe) and q68 (SemDeDup clustering) both depend on this
+    staying bit-identical to the engine fold; keep it in one place for the
+    same reason _md5h_sql exists."""
     n = len(C)
 
     def lits(c):
@@ -1827,6 +1822,23 @@ def _q26_sql() -> str:
         best = f"greatest({rest})" if i < n - 2 else rest
         case_arms.append(f"WHEN d{i} >= {best} THEN {i}")
     cell_case = "CASE " + " ".join(case_arms) + f" ELSE {n - 1} END"
+    return dcols, cell_case, lits
+
+
+def _q26_sql() -> str:
+    """DuckDB twin of the served-index IVF path (q19's literal trick applied
+    to a trained model): the L2-normalized centroids from
+    :mod:`webextract.ivf_snapshot` are embedded as literals in BOTH engines,
+    cell assignment is a first-max CASE over sequential-fold dots (bit-equal
+    to sim.ivf_assign_expr), probe ranking orders cells by dot(centroid,
+    query) with the same tie-break, and the final cosine is the q15-proven
+    list_dot_product form — every float op has an identical twin, so rows,
+    cells, and hashes all agree.
+    """
+    from .ivf_snapshot import IVF_CENTROIDS_SF001 as C
+
+    n = len(C)
+    dcols, cell_case, lits = _centroid_case_sql(C)
     probe_cells = "[" + ", ".join(str(i) for i in range(n)) + "]"
     probe_dots = "[" + ", ".join(f"list_dot_product({lits(c)}, qv)" for c in C) + "]"
     cos = ("list_dot_product(a.e, q.qv) / (sqrt(list_dot_product(a.e, a.e)) "
@@ -2502,12 +2514,16 @@ def _q67_sql(k: int = _BM25_K) -> str:
     ), dft AS (
       SELECT w, COUNT(*) AS df FROM post GROUP BY w
     ), scored AS (
+      -- the idf*tf product is widened (HUGEINT here, decimal(38,0) on the
+      -- engine side) before the // — a raw int64 product wraps at ~5e7
+      -- docs with a df=1 term
       SELECT q.query_id, p.doc_id,
-             SUM(((((s.n_docs - d.df) * {IDF_SCALE}) // (d.df + 1))
+             SUM(CAST((CAST((((s.n_docs - d.df) * {IDF_SCALE})
+                             // (d.df + 1)) AS HUGEINT)
                   * ((p.tf * {TF_SCALE} * {IDF_SCALE})
                      // (p.tf * {TF_SCALE}
                          + {K1_X10} * (250 + ({B_X1000} * l.dl) // s.avgdl))))
-                 // {IDF_SCALE}) AS score
+                 // {IDF_SCALE} AS BIGINT)) AS score
       FROM post p
       JOIN qterms q USING (w) JOIN dft d USING (w) JOIN dl l USING (doc_id),
            stats s
@@ -2551,19 +2567,7 @@ _SEMDEDUP_TAU = 0.4
 def _q68_sql() -> str:
     from .ivf_snapshot import IVF_CENTROIDS_SF001 as C
 
-    n = len(C)
-
-    def lits(c):
-        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
-
-    dcols = ",\n             ".join(
-        f"list_dot_product(e, {lits(c)}) AS d{i}" for i, c in enumerate(C))
-    case_arms = []
-    for i in range(n - 1):
-        rest = ", ".join(f"d{j}" for j in range(i + 1, n))
-        best = f"greatest({rest})" if i < n - 2 else rest
-        case_arms.append(f"WHEN d{i} >= {best} THEN {i}")
-    cell_case = "CASE " + " ".join(case_arms) + f" ELSE {n - 1} END"
+    dcols, cell_case, _lits = _centroid_case_sql(C)
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2830,7 +2834,7 @@ def q71(spark, sf_dir):
     return dup_substring_spans(d, k=_SUBSTR_K, hash_fn="md5_60")
 
 
-_MIX_QUOTA = 100_000
+_MIX_QUOTA = 1_000_000  # true parts-per-million (the column says ppm)
 
 
 _Q72_SQL = f"""
@@ -2973,6 +2977,10 @@ def q73(spark, sf_dir):
     bench = d.filter(F.pmod("doc_id", F.lit(_PREP_BENCH_MOD)) == 0)
     out, _report = pretrain_prep(d, bench, capacity=_PREP_CAP,
                                  shards=_PREP_SHARDS, gram_n=_PREP_GRAM_N)
+    # registry entries must not leak session caches: release the recipe's
+    # persisted result here — the driver's single collect recomputes the
+    # (deterministic) lineage once instead of pinning a cache forever
+    out.unpersist()
     return out
 
 

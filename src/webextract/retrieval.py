@@ -35,17 +35,23 @@ non-negatives):
 Every op is monotone the same direction as its float original, so rankings
 agree with classic BM25 on anything but near-ties — and the score itself is
 reproducible to the bit across engines and partitionings (float BM25 is
-not: sum order varies with the shuffle). At 10^12 docs the idf_s numerator
-(N * 1e6) exceeds int64 — switch the two products to decimal(38,0); the
-plan shape is unchanged.
+not: sum order varies with the shuffle). Overflow envelope: the product
+``idf_s * tf_s`` reaches ~2.5e19 > 2^63 already at N ≈ 5e7 docs with a
+df=1 term (idf_s ≈ N/2 × 1e6, tf_s → 1e6), so the per-term contribution is
+computed in **decimal(38,0)** from the start — never a raw int64 product;
+the summed long score stays safe until ~10^12 docs × many-term queries,
+where the final sum moves to decimal too (shape unchanged).
 
 Plan shape (the part that must survive 100 TB):
-- token explode → hash-agg tf with map-side combine (the only corpus-sized
-  shuffle, carrying (term, doc_id, tf));
+- token explode → hash-agg tf with map-side combine (the ONLY corpus-sized
+  shuffle; it carries (term, doc_id, tf, dl) — the doc length RIDES the
+  postings aggregate as one extra int, so there is no separate
+  corpus-sized doc-lengths join anywhere in the query path);
 - query vocabulary is a literal/broadcast filter applied BEFORE the tf
   aggregate, so the shuffle carries only matching terms — for a k-term
   query set that is a tiny fraction of the token stream;
-- df + avgdl are vocabulary/scalar-sized aggregates, broadcast back;
+- df is a vocabulary-sized aggregate and (N, avgdl) a 1-row aggregate,
+  both broadcast back;
 - per-query top-k is a WindowGroupLimit (rank pushed into the shuffle),
   never a global sort.
 
@@ -88,14 +94,24 @@ def doc_lengths(docs: DataFrame, *, id_col: str = "doc_id",
 
 def postings(docs: DataFrame, *, id_col: str = "doc_id",
              text_col: str = "text",
-             vocab: list[str] | None = None) -> DataFrame:
+             vocab: list[str] | None = None,
+             with_dl: bool = False) -> DataFrame:
     """The inverted index: (w, id, tf). Pass ``vocab`` to restrict to a
     term set BEFORE the aggregate (query-time path: the shuffle then
-    carries only those terms)."""
-    t = tokens(docs, id_col=id_col, text_col=text_col)
+    carries only those terms). ``with_dl=True`` carries the doc length
+    through the same aggregate (one extra int per shuffle row) so scoring
+    never needs a separate corpus-sized doc-lengths join."""
+    base = (docs.filter(F.length(F.trim(text_col)) > 0)
+            .select(F.col(id_col),
+                    F.split(F.trim(text_col), r"\s+").alias("_t")))
+    t = base.select(id_col, F.size("_t").alias("dl"),
+                    F.explode("_t").alias("w"))
     if vocab is not None:
         t = t.filter(F.col("w").isin(list(vocab)))
-    return t.groupBy("w", id_col).agg(F.count("*").alias("tf"))
+    aggs = [F.count("*").alias("tf")]
+    if with_dl:
+        aggs.append(F.max("dl").alias("dl"))
+    return t.groupBy("w", id_col).agg(*aggs)
 
 
 def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], *, k: int = 10,
@@ -106,12 +122,13 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], *, k: int = 10,
     Returns (query_id, rank, doc_id-named-as-id_col, score).
     """
     vocab = sorted({w for ws in queries.values() for w in ws})
-    post = postings(docs, id_col=id_col, text_col=text_col, vocab=vocab)
-    dl = doc_lengths(docs, id_col=id_col, text_col=text_col)
+    post = postings(docs, id_col=id_col, text_col=text_col, vocab=vocab,
+                    with_dl=True)
 
     # corpus stats: N and avgdl (one tiny aggregate, broadcast back)
-    stats = dl.agg(F.count("*").alias("n_docs"),
-                   F.expr("sum(dl) div count(*)").alias("avgdl"))
+    stats = doc_lengths(docs, id_col=id_col, text_col=text_col).agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"))
     # df per query term (vocabulary-sized)
     df_t = post.groupBy("w").agg(F.count("*").alias("df"))
 
@@ -130,8 +147,6 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], *, k: int = 10,
         post
         .join(F.broadcast(qterms), "w")
         .join(F.broadcast(df_t), "w")
-        .join(dl.withColumnRenamed(id_col, "_did"),
-              F.col(id_col) == F.col("_did"))
         .crossJoin(F.broadcast(stats))
         .withColumn("lf1000",
                     F.expr(f"250 + ({B_X1000} * dl) div avgdl"))
@@ -141,7 +156,12 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], *, k: int = 10,
         .withColumn("tf_s",
                     F.expr(f"(tf * {TF_SCALE} * {IDF_SCALE}) div "
                            f"(tf * {TF_SCALE} + k10000)"))
-        .withColumn("contrib", F.expr(f"(idf_s * tf_s) div {IDF_SCALE}"))
+        # decimal(38,0) product: idf_s * tf_s wraps int64 at N ~ 5e7 docs
+        # with a rare term (module docstring), so the contribution is
+        # never a raw long product
+        .withColumn("contrib",
+                    F.expr(f"CAST((CAST(idf_s AS DECIMAL(38,0)) * tf_s) "
+                           f"div {IDF_SCALE} AS BIGINT)"))
         .groupBy("query_id", id_col)
         .agg(F.sum("contrib").cast("long").alias("score"))
     )

@@ -316,9 +316,21 @@ def semdedup(df: DataFrame, *, tau: float,
     keep the best copy, as pipeline.curate does for text near-dup).
     """
     if centroids is None:
-        centroids = kmeans_centroids(df, n_centroids=n_centroids,
-                                     n_iter=n_iter, vec_col=vec_col,
-                                     id_col=id_col, seed=seed)
+        raw = kmeans_centroids(df, n_centroids=n_centroids,
+                               n_iter=n_iter, vec_col=vec_col,
+                               id_col=id_col, seed=seed)
+        # ivf_assign_expr requires L2-NORMALIZED centroids (argmax of dot
+        # equals argmax of cosine only at constant |c_i|); kmeans_centroids
+        # returns raw element-wise means, so normalize here — with the same
+        # sequential fold the snapshot uses, keeping assignment
+        # deterministic and engine-neutral
+        centroids = []
+        for c in raw:
+            s = 0.0
+            for x in c:
+                s += float(x) * float(x)
+            n = (s ** 0.5) or 1.0
+            centroids.append([float(x) / n for x in c])
     assigned = df.select(
         F.col(id_col), F.col(vec_col),
         ivf_assign_expr(centroids, vec_col).alias("cluster"),

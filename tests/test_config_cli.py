@@ -109,7 +109,8 @@ def test_cli_prep_end_to_end(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     stages = rep["stages"]
     assert list(stages) == ["input", "after_decontamination",
-                            "after_rebalance"]
+                            "after_rebalance", "packed"]
+    assert stages["packed"] == stages["after_rebalance"]
     # doc 3 shares every 5-gram with the bench doc (same w3_* stream)
     assert stages["after_decontamination"] == stages["input"] - 1
     packed = spark.read.parquet(out)
