@@ -187,7 +187,7 @@ def main():
     ap.add_argument("--docs", type=int, default=40_000)
     ap.add_argument("--scale", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--pairs", default="4:16,8:32")
+    ap.add_argument("--pairs", default="8:32,4:16")
     args = ap.parse_args()
 
     pair_results = []
