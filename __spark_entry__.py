@@ -946,6 +946,7 @@ _VERIFY_FIRST = [
     "q74_hybrid_rrf_fusion",
     "q75_adaptive_quantile_gate",
     "q76_group_aware_split",
+    "q77_bpe_train",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -971,6 +972,7 @@ _VERIFY_LAST = [
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
     "q35_gopher_quality_filter", "q39_repetition_signals",
     "q40_top_terms_by_source", "q41_pii_redaction", "q43_asof_join",
+    "q47_range_join_banded",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) as a
+DataFrame loop — the tokenizer-building step of a pretraining pipeline,
+run where the corpus lives instead of sampling it down to one machine.
+
+Algorithm (exactly the classic one):
+
+1. ONE corpus-sized aggregate builds the word-frequency table — after
+   this, everything operates on the |vocab| relation (bounded: ~1e7
+   distinct words at web scale), never the corpus. This is also how
+   single-machine BPE trainers work (a word-count dict); the distributed
+   win is that step 1 and the per-iteration pair counts parallelize.
+2. Each word is a SEP-delimited symbol string with SEP on BOTH ends:
+   ``|l|o|w|</w>|`` — the anchors make substring search equal whole-symbol
+   search.
+3. ``n_merges`` times: count adjacent symbol pairs weighted by word
+   frequency (one |vocab|-sized aggregate), pick the most frequent pair
+   (tie-break: lexicographically smallest — a total order, so the merge
+   sequence is a pure function of the corpus on any engine or cluster
+   layout), and merge it in every word.
+
+The merge primitive and why it is exact
+---------------------------------------
+``replace(rep, '|a|b|', '|ab|')`` substitutes non-overlapping occurrences
+left-to-right on BOTH engines (verified: Spark and DuckDB agree on
+``'a|a|a|' -> 'aa|a|'``). The both-sided anchors guarantee whole-symbol
+matches (``|a|bx|`` never matches ``|a|b|``), but one pass misses every
+SECOND occurrence in an abutting run — the match consumes the shared
+anchor (``|a|b|a|b|`` -> ``|ab|a|b|``). A second identical pass finishes
+the job: pass 1 merges the 1st/3rd/5th… occurrences of each run, leaving
+the survivors non-adjacent with intact anchors, so pass 2 merges them all
+(``-> |ab|ab|``), and a merged symbol can never create a fresh ``(a, b)``
+adjacency (its neighbors see ``ab``, not ``b``). Two passes therefore
+reproduce the classic greedy array merge exactly — property-tested against
+a pure-python reference, and replayed bit-for-bit by the q77 oracle's
+generated chained CTEs in DuckDB.
+
+Driver state per iteration: ONE (pair, count) row. The vocab table is
+re-persisted each iteration (previous cache released), so an iteration
+costs one |vocab| scan — independent of corpus size.
+
+SEP is U+001F (unit separator): it cannot appear in whitespace-split
+tokens of a corpus that survives extraction (control characters are
+stripped upstream); a corpus that could contain it must remap first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\x1f"
+END_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, cnt) — the ONLY corpus-sized step of BPE training."""
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.explode(F.split(F.trim(text_col), r"\s+")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_rep():
+    """word → '|c|h|a|r|</w>|' (SEP-anchored symbol string)."""
+    return F.concat(
+        F.lit(SEP),
+        F.array_join(F.split(F.col("word"), ""), SEP),
+        F.lit(SEP + END_WORD + SEP))
+
+
+def _symbols():
+    """rep → its symbol array (the split's leading/trailing empties from
+    the anchors stripped)."""
+    return F.expr(
+        f"slice(split(rep, '{SEP}'), 2, size(split(rep, '{SEP}')) - 2)")
+
+
+def _pair_counts(reps: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the vocab relation, weighted by word
+    frequency. ``pair`` is 'a<SEP>b' (the anchored search string minus its
+    outer anchors)."""
+    pairs = F.expr(
+        f"transform(sequence(0, size(s) - 2), "
+        f"i -> concat(s[i], '{SEP}', s[i+1]))")
+    return (
+        reps.select("cnt", _symbols().alias("s"))
+        .filter(F.size("s") >= 2)
+        .select("cnt", F.explode(pairs).alias("pair"))
+        .groupBy("pair").agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL expression for a literal that may contain SEP (rendered as a
+    char(31) call so generated SQL stays printable)."""
+    parts = ["'" + p.replace("'", "''") + "'" for p in s.split(SEP)]
+    return ("concat(" + ", char(31), ".join(parts) + ")"
+            if len(parts) > 1 else parts[0])
+
+
+def merge_expr(pair: str, rep_col: str = "rep") -> str:
+    """The double-pass anchored replace as a SQL string — shared verbatim
+    by the Spark loop and the DuckDB oracle generator (single source of
+    the merge semantics, like dedup.MD5_60_SQL)."""
+    left, right = pair.split(SEP)
+    search = _sql_str(SEP + left + SEP + right + SEP)
+    repl = _sql_str(SEP + left + right + SEP)
+    one = f"replace({rep_col}, {search}, {repl})"
+    return f"replace({one}, {search}, {repl})"
+
+
+def bpe_train(docs: DataFrame, *, n_merges: int,
+              text_col: str = "text") -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus; returns the ordered
+    merge table (step, left, right, merged, pair_count) — the tokenizer
+    artifact a dataloader consumes."""
+    spark = docs.sparkSession
+    reps = (word_counts(docs, text_col=text_col)
+            .select("cnt", _initial_rep().alias("rep"))
+            .persist())
+    reps.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(n_merges):
+            top = (_pair_counts(reps)
+                   .orderBy(F.col("c").desc(), F.col("pair"))
+                   .limit(1).collect())
+            if not top:
+                break
+            pair, c = top[0]["pair"], int(top[0]["c"])
+            left, right = pair.split(SEP)
+            merges.append((step, left, right, left + right, c))
+            nxt = reps.select(
+                "cnt", F.expr(merge_expr(pair)).alias("rep")).persist()
+            nxt.count()
+            reps.unpersist()
+            reps = nxt
+    finally:
+        reps.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+                "pair_count long")

@@ -3172,6 +3172,89 @@ def q76(spark, sf_dir):
         .alias("split"))
 
 
+_BPE_MERGES = 6
+
+
+def _q77_sql() -> str:
+    """The whole BPE training loop replayed as generated chained CTEs:
+    reps_i -> pair counts -> best pair -> double-pass anchored replace ->
+    reps_{i+1}. The merge primitive is the same double replace the engine
+    loop uses (bpe.merge_expr semantics), built here from the best_i row
+    itself: search = chr(31)||pair||chr(31), replacement strips the inner
+    SEP."""
+    sep = "chr(31)"
+    cte = [f"""
+    words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY word
+    ), reps0 AS (
+      SELECT cnt, {sep} || array_to_string(string_split(word, ''), {sep})
+             || {sep} || '</w>' || {sep} AS rep
+      FROM words
+    )"""]
+    for i in range(_BPE_MERGES):
+        cte.append(f"""
+    sym{i} AS (
+      SELECT cnt, list_slice(string_split(rep, {sep}), 2,
+                             len(string_split(rep, {sep})) - 1) AS s
+      FROM reps{i}
+    ), pc{i} AS (
+      SELECT s[j] || {sep} || s[j + 1] AS pair, SUM(cnt) AS c
+      FROM (SELECT cnt, s, unnest(range(1, len(s))) AS j FROM sym{i}
+            WHERE len(s) >= 2)
+      GROUP BY pair
+    ), best{i} AS (
+      SELECT pair, c FROM pc{i} ORDER BY c DESC, pair LIMIT 1
+    ), reps{i + 1} AS (
+      SELECT r.cnt,
+             replace(replace(r.rep,
+                             {sep} || b.pair || {sep},
+                             {sep} || replace(b.pair, {sep}, '') || {sep}),
+                     {sep} || b.pair || {sep},
+                     {sep} || replace(b.pair, {sep}, '') || {sep}) AS rep
+      FROM reps{i} r, best{i} b
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, string_split(pair, {sep})[1] AS left_sym, "
+        f"string_split(pair, {sep})[2] AS right_sym, "
+        f"replace(pair, {sep}, '') AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(_BPE_MERGES))
+    return ("    WITH" + ",".join(cte)
+            + f"\n    SELECT CAST(step AS INT) AS step, left_sym, right_sym,"
+              f" merged, pair_count FROM ({unions})")
+
+
+@register(
+    "q77_bpe_train",
+    _q77_sql(),
+    doc="distributed BPE tokenizer training (bpe.bpe_train, Sennrich et "
+        "al. 2016): ONE corpus-sized aggregate builds the word-frequency "
+        "table, then every iteration runs on the |vocab| relation only "
+        "(pair-count aggregate + anchored double-replace merge) with a "
+        "single (pair, count) row collected per step — the classic "
+        "word-dict BPE trainer, distributed. Deterministic merge order "
+        "(max count, lexicographically-smallest pair) makes the whole "
+        "merge sequence a pure function of the corpus; the oracle replays "
+        "all six training steps as generated chained CTEs using the "
+        "identical double-pass replace primitive, so the learned merges "
+        "match bit-for-bit. Property-tested against a pure-python greedy "
+        "reference (the two-pass anchored replace == the classic array "
+        "merge).",
+)
+def q77(spark, sf_dir):
+    from .bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    out = bpe_train(d, n_merges=_BPE_MERGES)
+    return out.select(F.col("step").cast("int").alias("step"),
+                      F.col("left").alias("left_sym"),
+                      F.col("right").alias("right_sym"),
+                      "merged", "pair_count")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

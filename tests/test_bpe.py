@@ -1,0 +1,119 @@
+"""Distributed BPE training (webextract.bpe): merge semantics vs the
+classic greedy array merge, determinism, and end-to-end merge learning."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from webextract.bpe import SEP, bpe_train, merge_expr
+
+
+def _greedy(syms, a, b):
+    """The classic BPE within-word merge: left-to-right, non-overlapping."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(words: dict[str, int], n: int):
+    reps = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for step in range(n):
+        pc: dict[tuple, int] = {}
+        for w, c in words.items():
+            s = reps[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1]))
+        merges.append((step, a, b, a + b, c))
+        for w in reps:
+            reps[w] = _greedy(reps[w], a, b)
+    return merges
+
+
+def test_double_pass_replace_equals_greedy_merge(spark):
+    """The anchored double replace == the classic array merge, including
+    abutting runs ('abab', 'aaa') and boundary fakes ('xa|b', 'a|bx')."""
+    cases = [
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["x", "a", "b", "y"], "a", "b"),
+        (["xa", "b", "a", "bx"], "a", "b"),   # fake boundaries
+        (["ab", "b", "ab", "b"], "ab", "b"),
+        (["a", "b", "b", "a", "b"], "a", "b"),
+        (["a"], "a", "b"),
+    ]
+    rows = [(i, SEP + SEP.join(s) + SEP) for i, (s, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, rep string")
+    for idx, (syms, a, b) in enumerate(cases):
+        got = (df.filter(F.col("i") == idx)
+               .select(F.expr(merge_expr(a + SEP + b)).alias("rep"))
+               .first().rep)
+        want = SEP + SEP.join(_greedy(syms, a, b)) + SEP
+        assert got == want, (syms, a, b, got, want)
+
+
+def test_double_pass_replace_random_differential(spark):
+    rnd = random.Random(11)
+    rows, expect = [], []
+    for i in range(60):
+        syms = [rnd.choice(["a", "b", "ab", "c"]) for _ in
+                range(rnd.randrange(1, 12))]
+        rows.append((i, SEP + SEP.join(syms) + SEP))
+        expect.append(SEP + SEP.join(_greedy(syms, "a", "b")) + SEP)
+    df = spark.createDataFrame(rows, "i int, rep string")
+    got = {r.i: r.rep for r in
+           df.select("i", F.expr(merge_expr("a" + SEP + "b"))
+             .alias("rep")).collect()}
+    for i, want in enumerate(expect):
+        assert got[i] == want
+
+
+def test_bpe_train_matches_python_reference(spark):
+    rnd = random.Random(3)
+    alphabet = "abcde"
+    docs = []
+    for i in range(30):
+        words = ["".join(rnd.choice(alphabet)
+                         for _ in range(rnd.randrange(1, 6)))
+                 for _ in range(rnd.randrange(3, 12))]
+        docs.append((i, " ".join(words)))
+    wc: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _ref_train(wc, 5)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.step, r.left, r.right, r.merged, r.pair_count)
+           for r in bpe_train(df, n_merges=5)
+           .orderBy("step").collect()]
+    assert got == want
+
+
+def test_bpe_train_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "low lower lowest new newer newest") for i in range(5)],
+        "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train(df, n_merges=4).orderBy("step").collect()]
+    b = [tuple(r) for r in bpe_train(df, n_merges=4).orderBy("step").collect()]
+    assert a == b and len(a) == 4
+    # the classic example learns 'lowe'-family merges from shared stems
+    assert all(r[4] > 0 for r in a)
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    out = bpe_train(df, n_merges=50).collect()
+    # 'a b </w>' has 2 pairs -> 2 merges collapse the word to one symbol
+    assert len(out) == 2
