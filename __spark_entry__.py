@@ -947,6 +947,7 @@ _VERIFY_FIRST = [
     "q75_adaptive_quantile_gate",
     "q76_group_aware_split",
     "q77_bpe_train",
+    "q78_bpe_encode",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -972,7 +973,7 @@ _VERIFY_LAST = [
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
     "q35_gopher_quality_filter", "q39_repetition_signals",
     "q40_top_terms_by_source", "q41_pii_redaction", "q43_asof_join",
-    "q47_range_join_banded",
+    "q47_range_join_banded", "q48_kmv_distinct_sketch",
 ]
 
 

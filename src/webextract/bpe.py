@@ -99,9 +99,10 @@ def _sql_str(s: str) -> str:
 
 
 def merge_expr(pair: str, rep_col: str = "rep") -> str:
-    """The double-pass anchored replace as a SQL string — shared verbatim
-    by the Spark loop and the DuckDB oracle generator (single source of
-    the merge semantics, like dedup.MD5_60_SQL)."""
+    """The double-pass anchored replace as a SQL string (Spark side).
+    The q77 oracle re-generates the same double replace in DuckDB from its
+    best_i rows — any change to the pass count or anchoring here must land
+    there in lockstep (the parity contract, like dedup.MD5_60_SQL's)."""
     left, right = pair.split(SEP)
     search = _sql_str(SEP + left + SEP + right + SEP)
     repl = _sql_str(SEP + left + right + SEP)
@@ -140,3 +141,45 @@ def bpe_train(docs: DataFrame, *, n_merges: int,
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, "
                 "pair_count long")
+
+
+def _doc_rep(text_col: str):
+    """Whole-document anchored symbol string: each word's chars + END_WORD,
+    all SEP-delimited: '|a|b|</w>|c|</w>|'.
+
+    Applying word-level merges to the doc-level string is safe: a learned
+    pair's LEFT component can never end with END_WORD (word-final symbols
+    have no right neighbor during training, so no such pair is ever
+    learned), hence no learned merge can match across a word boundary.
+    """
+    piece = F.expr(
+        f"transform(split(trim({text_col}), '\\\\s+'), "
+        f"w -> concat(array_join(split(w, ''), '{SEP}'), "
+        f"'{SEP}', '{END_WORD}'))")
+    return F.concat(F.lit(SEP), F.array_join(piece, SEP), F.lit(SEP))
+
+
+def bpe_apply(docs: DataFrame, merges: list[str], *,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a trained merge list (ordered pair strings 'a<SEP>b',
+    e.g. from :func:`bpe_train`'s left/right columns): apply every merge in
+    training order as the anchored double replace, then count symbols.
+
+    The entire application is ONE codegen'd projection per document —
+    2 x len(merges) nested ``replace`` calls, zero shuffles, zero Python.
+    Returns (id, n_words, n_tokens) where n_tokens counts post-merge BPE
+    symbols (END_WORD markers included, matching what a dataloader feeds).
+    """
+    rep_sql = "rep"
+    for pair in merges:
+        rep_sql = merge_expr(pair, rep_sql)
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col), _doc_rep(text_col).alias("rep"),
+                F.size(F.split(F.trim(text_col), r"\s+")).alias("n_words"))
+        .select(id_col, "n_words",
+                (F.size(F.split(F.expr(rep_sql), SEP)) - 2)
+                .cast("long").alias("n_tokens"))
+        .select(id_col, F.col("n_words").cast("long").alias("n_words"),
+                "n_tokens")
+    )

@@ -3175,13 +3175,13 @@ def q76(spark, sf_dir):
 _BPE_MERGES = 6
 
 
-def _q77_sql() -> str:
-    """The whole BPE training loop replayed as generated chained CTEs:
-    reps_i -> pair counts -> best pair -> double-pass anchored replace ->
-    reps_{i+1}. The merge primitive is the same double replace the engine
-    loop uses (bpe.merge_expr semantics), built here from the best_i row
-    itself: search = chr(31)||pair||chr(31), replacement strips the inner
-    SEP."""
+def _bpe_ctes() -> str:
+    """The BPE training loop as generated chained CTEs (shared by q77 and
+    q78): reps_i -> pair counts -> best pair -> double-pass anchored
+    replace -> reps_{i+1}. The merge primitive is the same double replace
+    the engine loop uses (bpe.merge_expr semantics), built from the best_i
+    row itself: search = chr(31)||pair||chr(31), replacement strips the
+    inner SEP."""
     sep = "chr(31)"
     cte = [f"""
     words AS (
@@ -3216,13 +3216,18 @@ def _q77_sql() -> str:
                      {sep} || replace(b.pair, {sep}, '') || {sep}) AS rep
       FROM reps{i} r, best{i} b
     )""")
+    return "    WITH" + ",".join(cte)
+
+
+def _q77_sql() -> str:
+    sep = "chr(31)"
     unions = "\n      UNION ALL ".join(
         f"SELECT {i} AS step, string_split(pair, {sep})[1] AS left_sym, "
         f"string_split(pair, {sep})[2] AS right_sym, "
         f"replace(pair, {sep}, '') AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
         for i in range(_BPE_MERGES))
-    return ("    WITH" + ",".join(cte)
+    return (_bpe_ctes()
             + f"\n    SELECT CAST(step AS INT) AS step, left_sym, right_sym,"
               f" merged, pair_count FROM ({unions})")
 
@@ -3253,6 +3258,55 @@ def q77(spark, sf_dir):
                       F.col("left").alias("left_sym"),
                       F.col("right").alias("right_sym"),
                       "merged", "pair_count")
+
+
+def _q78_sql() -> str:
+    sep = "chr(31)"
+    rep = "rep"
+    for i in range(_BPE_MERGES):
+        s = f"(SELECT {sep} || pair || {sep} FROM best{i})"
+        r = (f"(SELECT {sep} || replace(pair, {sep}, '') || {sep} "
+             f"FROM best{i})")
+        rep = f"replace(replace({rep}, {s}, {r}), {s}, {r})"
+    return (_bpe_ctes() + f""",
+    docrep AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             {sep} || array_to_string(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                 w -> array_to_string(string_split(w, ''), {sep})
+                      || {sep} || '</w>'), {sep}) || {sep} AS rep
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(string_split({rep}, {sep})) - 2 AS BIGINT) AS n_tokens
+    FROM docrep""")
+
+
+@register(
+    "q78_bpe_encode",
+    _q78_sql(),
+    doc="BPE tokenization with the trained merges (bpe.bpe_apply — the "
+        "inference half of q77): the ordered merge list applies as "
+        "2 x n_merges NESTED replace calls in ONE codegen'd projection "
+        "per document — zero shuffles, zero Python; true subword token "
+        "counts replace q10/q28's whitespace/regex surrogates. The "
+        "document-level symbol string is safe for word-level merges "
+        "because a learned pair's left component can never end with the "
+        "end-of-word marker (bpe._doc_rep docstring). Oracle: the q77 "
+        "training CTEs plus the same nested-replace application, so every "
+        "document's token count matches bit-for-bit. At 10^12 docs the "
+        "merge list ships as a literal expression (a few hundred learned "
+        "merges = a few hundred nested replaces, still one projection) or "
+        "the application moves into the extraction mapInPandas stage.",
+)
+def q78(spark, sf_dir):
+    from .bpe import SEP, bpe_apply, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    trained = bpe_train(d, n_merges=_BPE_MERGES).orderBy("step").collect()
+    merges = [r.left + SEP + r.right for r in trained]
+    return bpe_apply(d, merges)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

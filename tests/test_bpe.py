@@ -117,3 +117,39 @@ def test_bpe_train_stops_when_fully_merged(spark):
     out = bpe_train(df, n_merges=50).collect()
     # 'a b </w>' has 2 pairs -> 2 merges collapse the word to one symbol
     assert len(out) == 2
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    from webextract.bpe import bpe_apply
+
+    docs = [(1, "low lower low"), (2, "newest new"), (3, "ab abab")]
+    wc: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    merges = _ref_train(wc, 4)
+    pairs = [a + SEP + b for _, a, b, _, _ in merges]
+
+    # python reference: apply the merges per word, count symbols + </w>
+    def ref_count(text):
+        n = 0
+        for w in text.split():
+            s = list(w) + ["</w>"]
+            for _, a, b, _, _ in merges:
+                s = _greedy(s, a, b)
+            n += len(s)
+        return n
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_apply(df, pairs).collect()}
+    for i, t in docs:
+        assert got[i] == (len(t.split()), ref_count(t)), (i, t, got[i])
+
+
+def test_bpe_apply_zero_merges_counts_chars_plus_markers(spark):
+    from webextract.bpe import bpe_apply
+
+    df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    r = bpe_apply(df, []).first()
+    assert (r.n_words, r.n_tokens) == (2, 2 + 1 + 1 + 1)  # a,b,</w>,c,</w>
