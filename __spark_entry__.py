@@ -948,6 +948,7 @@ _VERIFY_FIRST = [
     "q76_group_aware_split",
     "q77_bpe_train",
     "q78_bpe_encode",
+    "q79_passage_chunking",
     # green in r2 but past the r3 window
     "q27_heterogeneous_routing",
     "q28_bpeish_token_counts",
@@ -974,6 +975,7 @@ _VERIFY_LAST = [
     "q35_gopher_quality_filter", "q39_repetition_signals",
     "q40_top_terms_by_source", "q41_pii_redaction", "q43_asof_join",
     "q47_range_join_banded", "q48_kmv_distinct_sketch",
+    "q49_best_copy_dedup",
 ]
 
 

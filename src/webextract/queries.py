@@ -3309,6 +3309,51 @@ def q78(spark, sf_dir):
     return bpe_apply(d, merges)
 
 
+_CHUNK_W, _CHUNK_S = 48, 32
+
+
+_Q79_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+), st AS (
+  SELECT doc_id, n_tokens, t,
+         unnest(range(0, greatest(1, n_tokens), {_CHUNK_S})) AS start
+  FROM base
+), cut AS (
+  SELECT doc_id, start, list_slice(t, start + 1, start + {_CHUNK_W}) AS piece
+  FROM st
+)
+SELECT doc_id, CAST(start // {_CHUNK_S} AS BIGINT) AS passage,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(start + len(piece) AS BIGINT) AS end_tok,
+       CAST(len(piece) AS BIGINT) AS p_tokens,
+       array_to_string(piece, ' ') AS passage_text
+FROM cut WHERE len(piece) >= 1
+"""
+
+
+@register(
+    "q79_passage_chunking",
+    _Q79_SQL,
+    doc="overlapping passage extraction (sampling.passage_chunks — the "
+        "RAG/retrieval-corpus chunking step, dual of q65's packing): each "
+        "document cut into 48-token windows every 32 tokens (16-token "
+        "overlap), one row per passage with integer token offsets. Plan: "
+        "one sequence+explode per document, all-JVM array slicing, ZERO "
+        "shuffles — output grows only by the window/stride overlap "
+        "factor. Deterministic passage ids (start div stride) key the "
+        "downstream embedding/indexing stages (q15/q19/q26 consume the "
+        "result at scale).",
+)
+def q79(spark, sf_dir):
+    from .sampling import passage_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_chunks(d, window=_CHUNK_W, stride=_CHUNK_S)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in _REGISTRY.items()}
 

@@ -141,3 +141,45 @@ def pack_sequences(df: DataFrame, *, id_col: str, tokens_col: str,
                     F.col("_off").alias("offset"),
                     first.alias("first_chunk"), last.alias("last_chunk"),
                     n_chunks.cast("long").alias("n_chunks")))
+
+
+def passage_chunks(df: DataFrame, *, window: int, stride: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_tokens: int = 1) -> DataFrame:
+    """Overlapping passage extraction (RAG/retrieval-corpus chunking):
+    split each document into ``window``-token passages starting every
+    ``stride`` tokens (stride < window -> overlap), emitting one row per
+    passage with its token offsets and text.
+
+    The dual of :func:`pack_sequences`: packing assigns documents into
+    fixed training chunks; chunking cuts documents into retrieval units.
+    Start positions beyond the first are emitted only while they expose
+    at least one NEW token (start < n_tokens), and trailing partials
+    shorter than ``min_tokens`` are dropped — both rules are pure integer
+    arithmetic, so the passage set is reproducible anywhere.
+
+    Plan: one ``sequence``+``explode`` per document (passage count =
+    ceil(n/stride), linear in corpus tokens), all JVM array ops; the only
+    data growth is the overlap factor window/stride. Zero shuffles.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.filter(F.length(F.trim(text_col)) > 0)
+            .select(F.col(id_col), t.alias("t"))
+            .withColumn("n_tokens", F.size("t")))
+    starts = F.expr(f"sequence(0, greatest(0, n_tokens - 1), {stride})")
+    out = (base.select(id_col, "n_tokens", "t",
+                       F.explode(starts).alias("start"))
+           .withColumn("piece", F.expr(f"slice(t, start + 1, {window})"))
+           .withColumn("p_tokens", F.size("piece"))
+           .filter(F.col("p_tokens") >= min_tokens)
+           .select(
+               id_col,
+               F.expr(f"start div {stride}").cast("long").alias("passage"),
+               F.col("start").cast("long").alias("start_tok"),
+               (F.col("start") + F.col("p_tokens")).cast("long")
+               .alias("end_tok"),
+               F.col("p_tokens").cast("long").alias("p_tokens"),
+               F.array_join("piece", " ").alias("passage_text")))
+    return out

@@ -316,3 +316,26 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     # false positives bounded: 200*5 set bits of 4096 → fp ~ (0.22)^5 ≈ 5e-4
     fps = sum(probed[1000 + i] for i in range(200))
     assert fps <= 5, fps
+
+
+def test_passage_chunks_boundaries(spark):
+    from webextract.sampling import passage_chunks
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short one"), (3, "   ")],
+        "doc_id long, text string")
+    rows = sorted(
+        ((r.doc_id, r.passage, r.start_tok, r.end_tok, r.p_tokens,
+          r.passage_text)
+         for r in passage_chunks(df, window=4, stride=3).collect()))
+    # doc 1 (10 tokens, w=4, s=3): starts 0,3,6,9 -> lengths 4,4,4,1
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [(r[2], r[4]) for r in doc1] == [(0, 4), (3, 4), (6, 4), (9, 1)]
+    assert doc1[0][5] == "t0 t1 t2 t3" and doc1[-1][5] == "t9"
+    # overlap: passage 1 starts inside passage 0
+    assert doc1[1][2] < doc1[0][3]
+    # doc 2 (2 tokens): one partial window
+    assert [r[1:5] for r in rows if r[0] == 2] == [(0, 0, 2, 2)]
+    # blank doc emits nothing
+    assert not [r for r in rows if r[0] == 3]
