@@ -56,6 +56,14 @@ def corpus_parquet(n_docs: int, seed: int = 42, content_scale: int = 1,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # In local[32] the ONE driver JVM hosts all executor threads, every
+    # shuffle buffer, and the session's caches across the whole registry
+    # run — at the default 8g the job-dense composed queries late in the
+    # sequence (q58/q9x) absorb multi-second full-GC pauses and their
+    # timings turn erratic (measured 19-87 s for identical work). 16g
+    # restores stable timings; a real cluster sizes executor heaps
+    # separately so this is bench-only.
+    os.environ.setdefault("WEBEXTRACT_DRIVER_MEM", "16g")
     import re as _re
 
     m = _re.search(r"sf([0-9.]+)", sf_dir)

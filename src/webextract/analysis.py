@@ -205,20 +205,23 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
         hash_tpl = "CAST(conv(substring(md5({G}), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}; have {list(HASH_FNS)}")
-    parts = ", ".join(f"t[i + {j}]" for j in range(k))
+    # chained let-bindings (see repetition_df): tokens bound once (tt),
+    # gram hashes bound once (h) — without them CollapseProject inlines the
+    # split into every tt[i+j] AND the whole gram-hash array into every
+    # slice() of the window minimum, re-hashing O(windows x grams) per row
+    parts = ", ".join(f"tt[i + {j}]" for j in range(k))
     gram_hash = hash_tpl.format(G=f"concat_ws(chr(95), {parts})")
-    grams_h = f"transform(sequence(0, size(t) - {k}), i -> {gram_hash})"
-    fps = (f"array_distinct(transform(sequence(0, size(h) - {window}), "
-           f"j -> array_min(slice(h, j + 1, {window}))))")
+    grams_h = f"transform(sequence(0, size(tt) - {k}), i -> {gram_hash})"
+    fps_body = (f"array_distinct(transform(sequence(0, size(h) - {window}), "
+                f"j -> array_min(slice(h, j + 1, {window}))))")
+    let_expr = (f"transform(array(t), tt -> transform(array({grams_h}), "
+                f"h -> {fps_body})[0])[0]")
     toks = (
         df.filter(F.length(F.trim(text_col)) > 0)
         .select(F.col(id_col), F.split(F.trim(text_col), r"\s+").alias("t"))
         .filter(F.size("t") >= k + window - 1)
     )
-    return (
-        toks.select(id_col, F.expr(grams_h).alias("h"))
-        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
-    )
+    return toks.select(id_col, F.explode(F.expr(let_expr)).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -307,20 +310,73 @@ def repetition_columns(tok_col: str = "t", *, ns: tuple[int, ...] = (2, 3),
     return cols, keep.cast("int")
 
 
+def _gram_col(tt: Column, n: int) -> Column:
+    """Token n-gram array over a BOUND token-array column (empty when the
+    doc has fewer than n tokens)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tt) - n),
+        lambda i: F.concat_ws("_", *[tt[i + j] for j in range(n)]))
+    return F.when(F.size(tt) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def repetition_df(df: DataFrame, *, id_col: str = "doc_id",
-                  text_col: str = "text", **kw) -> DataFrame:
+                  text_col: str = "text", ns: tuple[int, ...] = (2, 3),
+                  keep_n: int = 3, keep_num: int = 3,
+                  keep_den: int = 10) -> DataFrame:
     """Per-doc repetition signals + keep flag over ``df``.
 
-    The token array is materialized under the alias ``t`` in a first
-    projection; the signal columns reference it. Catalyst collapses both
-    projections into one codegen stage (CollapseProject).
+    Evaluation structure matters here: higher-order-function lambdas do
+    not codegen, and a Column referenced k times evaluates k times in
+    interpreted mode — with a naive two-projection form CollapseProject
+    inlines the split() into every per-gram array access (the text
+    re-splits O(n_grams) times per row). So the computation is a CHAIN OF
+    LET-BINDINGS via nested ``transform(array(x), v -> ...)``: tokens are
+    bound once, each n-gram array is built once, the (total, dup) counts
+    are reduced to bound ints, and the final output fields are cheap
+    arithmetic over those ints. One ``inline`` generator emits the struct
+    as columns in a single evaluation. Values are identical to
+    :func:`repetition_columns` (the q39 oracle pins them).
     """
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
-    cols, keep = repetition_columns("t", **kw)
-    return (df.select(F.col(id_col), toks.alias("t"))
-              .select(id_col, *cols, keep.alias("keep_repetition")))
+    if keep_n not in ns:
+        raise ValueError(f"keep_n={keep_n} not in ns={ns}")
+
+    def stats(gs: Column) -> Column:  # bound gram struct -> bound int struct
+        fields = [gs["ntok"].alias("ntok")]
+        for n in ns:
+            g = gs[f"g{n}"]
+            fields.append(F.size(g).alias(f"t{n}"))
+            fields.append((F.size(g) - F.size(F.array_distinct(g)))
+                          .alias(f"d{n}"))
+        return F.struct(*fields)
+
+    def final(st: Column) -> Column:  # bound ints -> output fields
+        out = [st["ntok"].cast("long").alias("n_tokens")]
+        for n in ns:
+            total, dup = st[f"t{n}"], st[f"d{n}"]
+            out.append(dup.cast("long").alias(f"dup_{n}gram"))
+            out.append(
+                F.when(total <= 0, F.lit(0.0))
+                .otherwise(F.round(dup.cast("double") / total.cast("double"),
+                                   6))
+                .cast("double").alias(f"dup_{n}gram_frac"))
+        total, dup = st[f"t{keep_n}"], st[f"d{keep_n}"]
+        keep = ((total <= 0)
+                | (dup * F.lit(keep_den) <= total * F.lit(keep_num)))
+        out.append(keep.cast("int").alias("keep_repetition"))
+        return F.struct(*out)
+
+    body = F.transform(
+        F.array(toks),
+        lambda tt: F.transform(
+            F.array(F.struct(
+                F.size(tt).alias("ntok"),
+                *[_gram_col(tt, n).alias(f"g{n}") for n in ns])),
+            lambda gs: F.transform(F.array(stats(gs)), final)[0])[0])
+    return df.select(F.col(id_col), F.inline(body))
 
 
 # ---------------------------------------------------------------------------

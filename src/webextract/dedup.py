@@ -80,11 +80,17 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "url",
         .select(F.col(id_col).alias("id"), F.split(F.trim(text_col), r"\s+").alias("t"))
         .filter(F.size("t") >= n)
     )
-    parts = ", ".join(f"t[i + {k}]" for k in range(n))
+    # let-binding: the outer transform(array(t), tt -> ...) evaluates the
+    # token array ONCE and binds it as a lambda variable — without it,
+    # CollapseProject inlines the split() into every tt[i+k] access and the
+    # text is re-split per gram element (HOF lambdas don't codegen, so that
+    # runs interpreted; measured 2x on shingle gen, 21x on denser lambdas)
+    parts = ", ".join(f"tt[i + {k}]" for k in range(n))
     out = toks.select(
         "id",
         F.explode(
-            F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws('_', {parts}))")
+            F.expr(f"transform(array(t), tt -> transform(sequence(0, size(tt) - {n}), "
+                   f"i -> concat_ws('_', {parts})))[0]")
         ).alias("shingle"),
     )
     return out.distinct() if distinct else out
@@ -659,9 +665,11 @@ def dup_substring_spans(df: DataFrame, *, k: int = 8, text_col: str = "text",
                 F.split(F.trim(text_col), r"\s+").alias("t"))
         .select("id", F.size("t").alias("n_tokens"), "t")
     )
+    # let-binding (see shingles): bind the token array once so the split
+    # isn't inlined into every per-gram array access
     gram_str = F.expr(
-        f"transform(sequence(0, size(t) - {k}), i -> "
-        f"concat_ws('_', {', '.join(f't[i+{j}]' for j in range(k))}))")
+        f"transform(array(t), tt -> transform(sequence(0, size(tt) - {k}), i -> "
+        f"concat_ws('_', {', '.join(f'tt[i+{j}]' for j in range(k))})))[0]")
     grams = (
         toks.filter(F.col("n_tokens") >= k)
         .select("id", F.posexplode(gram_str).alias("start", "g"))

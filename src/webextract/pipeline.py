@@ -84,16 +84,25 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
-    gated = ok.withColumn("_t", toks)
+    # the token array MUST materialize behind a persist barrier before the
+    # repetition gate consumes it: without one, CollapseProject inlines the
+    # split() into every array access inside the gate's transform() lambda
+    # — higher-order-function lambdas don't codegen, so the text is then
+    # re-split interpreted O(n_tokens) times per row (measured 21x on the
+    # gates stage; the r3 stopword bug one level deeper). The cache holds
+    # one stage's token arrays (MEMORY_AND_DISK, spills at scale) and is
+    # released as soon as the gated stage materializes.
+    toked = ok.withColumn("_t", toks).persist()
     _, r_keep = repetition_columns("_t")
     _, red = pii_redact_columns(text_col)
-    gated = (gated.filter(q_keep.cast("boolean"))
+    gated = (toked.filter(q_keep.cast("boolean"))
                   .filter(r_keep.cast("boolean"))
                   .withColumn(text_col, red).drop("_t"))
     # stage boundaries are persisted: every later stage AND each report
     # count would otherwise recompute extraction + the gates from the scan
     gated = gated.persist()
     report["after_gates"] = gated.count()
+    toked.unpersist()
     raw.unpersist()
 
     # --- exact dedup: keep the best copy per content group ---------------
