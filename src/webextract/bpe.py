@@ -79,9 +79,11 @@ def _pair_counts(reps: DataFrame) -> DataFrame:
     """Adjacent-pair counts over the vocab relation, weighted by word
     frequency. ``pair`` is 'a<SEP>b' (the anchored search string minus its
     outer anchors)."""
+    # let-binding (dedup.shingles pattern): bind the symbol array once so
+    # the rep string isn't re-split per pair element after CollapseProject
     pairs = F.expr(
-        f"transform(sequence(0, size(s) - 2), "
-        f"i -> concat(s[i], '{SEP}', s[i+1]))")
+        f"transform(array(s), ss -> transform(sequence(0, size(ss) - 2), "
+        f"i -> concat(ss[i], '{SEP}', ss[i+1])))[0]")
     return (
         reps.select("cnt", _symbols().alias("s"))
         .filter(F.size("s") >= 2)

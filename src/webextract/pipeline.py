@@ -223,9 +223,13 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     report["input"] = base.count()
 
     # --- decontamination: drop docs sharing any n-gram with the bench ----
+    # let-binding (dedup.shingles pattern): the corpus side reads the
+    # persisted _t, but the bench side's split would otherwise inline into
+    # every per-gram access
     gram = F.expr(
-        f"transform(sequence(0, size(_t) - {gram_n}), i -> "
-        f"concat_ws('_', {', '.join(f'_t[i+{j}]' for j in range(gram_n))}))")
+        f"transform(array(_t), tt -> transform(sequence(0, size(tt) - "
+        f"{gram_n}), i -> concat_ws('_', "
+        f"{', '.join(f'tt[i+{j}]' for j in range(gram_n))})))[0]")
 
     def _grams(d):
         return (d.filter(F.size("_t") >= gram_n)

@@ -601,7 +601,8 @@ def q14(spark, sf_dir):
     grams = toks.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(0, size(t) - 2), i -> concat(t[i], '_', t[i+1]))"
+            "transform(array(t), tt -> transform(sequence(0, size(tt) - 2), "
+            "i -> concat(tt[i], '_', tt[i+1])))[0]"
         )).alias("g"),
     ).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2275,8 +2276,8 @@ def q60(spark, sf_dir):
             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
             .filter(F.size("t") >= _DECON_N))
     gram = F.expr(
-        "transform(sequence(0, size(t) - 5), i -> "
-        "concat_ws('_', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")
+        "transform(array(t), tt -> transform(sequence(0, size(tt) - 5), i -> "
+        "concat_ws('_', tt[i], tt[i+1], tt[i+2], tt[i+3], tt[i+4])))[0]")
     grams = (toks.select("doc_id", F.explode(gram).alias("g"))
              .select("doc_id", h(F.col("g")).alias("gh")).distinct())
     bench = (grams.filter(F.pmod("doc_id", F.lit(_DECON_BENCH_MOD)) == 0)
