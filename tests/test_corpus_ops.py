@@ -339,3 +339,30 @@ def test_passage_chunks_boundaries(spark):
     assert [r[1:5] for r in rows if r[0] == 2] == [(0, 0, 2, 2)]
     # blank doc emits nothing
     assert not [r for r in rows if r[0] == 3]
+
+
+def test_no_split_inlining_into_lambdas(spark):
+    """Guard against the CollapseProject + HOF-lambda blowup: the optimized
+    plan of each gram-building operator must evaluate split() a bounded
+    number of times — an inlined plan shows one split per array access
+    inside the lambda body (q58's 21x gates regression)."""
+    from webextract.analysis import repetition_df, winnow_fingerprints
+    from webextract.dedup import dup_substring_spans, shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    for name, d, cap in [
+        ("shingles", shingles(df, "text", "doc_id", 3), 3),
+        ("winnow", winnow_fingerprints(df, k=3, window=4), 3),
+        ("repetition", repetition_df(df), 3),
+        # substr references its token relation from two subtrees (grams +
+        # the final join-back), each evaluating split once per row — the
+        # INLINED form would show one split per tt[i+j] access (~10+)
+        ("substr", dup_substring_spans(df, k=8), 6),
+    ]:
+        plan = d._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(")
+        assert n <= cap, (
+            f"{name}: {n} split() occurrences in the optimized plan — "
+            f"the token array is being inlined into lambda bodies again")
