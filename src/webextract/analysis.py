@@ -310,14 +310,44 @@ def repetition_columns(tok_col: str = "t", *, ns: tuple[int, ...] = (2, 3),
     return cols, keep.cast("int")
 
 
-def _gram_col(tt: Column, n: int) -> Column:
+def _gram_col(tt: Column, n: int, sep: str = "_") -> Column:
     """Token n-gram array over a BOUND token-array column (empty when the
     doc has fewer than n tokens)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tt) - n),
-        lambda i: F.concat_ws("_", *[tt[i + j] for j in range(n)]))
+        lambda i: F.concat_ws(sep, *[tt[i + j] for j in range(n)]))
     return F.when(F.size(tt) >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def gram_array(tokens: Column, n: int, sep: str = "_") -> Column:
+    """LET-BOUND token n-gram array: evaluates ``tokens`` exactly once per
+    row, however many times downstream lambdas index into it — the shared
+    guard against the CollapseProject + interpreted-HOF inlining class
+    (docs/PLANS.md round-4f; every gram-building operator routes through
+    here or :func:`_gram_col`)."""
+    return F.transform(F.array(tokens), lambda tt: _gram_col(tt, n, sep))[0]
+
+
+def repetition_keep_expr(tokens: Column, *, keep_n: int = 3,
+                         keep_num: int = 3, keep_den: int = 10) -> Column:
+    """The Gopher repetition KEEP flag as one let-bound expression over a
+    tokens column — the zero-cache form of :func:`repetition_columns`'s
+    gate for use inside filters (pipeline.curate): tokens and the gram
+    array each evaluate exactly once per row, no persist barrier needed.
+    Values are identical to repetition_columns' keep (same integer
+    cross-multiplication)."""
+    def over_grams(gg: Column) -> Column:
+        total = F.size(gg)
+        dup = total - F.size(F.array_distinct(gg))
+        return ((total <= 0)
+                | (dup * F.lit(keep_den) <= total * F.lit(keep_num)))
+
+    body = F.transform(
+        F.array(tokens),
+        lambda tt: F.transform(F.array(_gram_col(tt, keep_n)),
+                               over_grams)[0])[0]
+    return body.cast("int")
 
 
 def repetition_df(df: DataFrame, *, id_col: str = "doc_id",

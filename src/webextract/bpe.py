@@ -18,21 +18,30 @@ Algorithm (exactly the classic one):
    sequence is a pure function of the corpus on any engine or cluster
    layout), and merge it in every word.
 
-The merge primitive and why it is exact
----------------------------------------
+The merge primitive and its exact semantics
+-------------------------------------------
 ``replace(rep, '|a|b|', '|ab|')`` substitutes non-overlapping occurrences
 left-to-right on BOTH engines (verified: Spark and DuckDB agree on
 ``'a|a|a|' -> 'aa|a|'``). The both-sided anchors guarantee whole-symbol
-matches (``|a|bx|`` never matches ``|a|b|``), but one pass misses every
-SECOND occurrence in an abutting run — the match consumes the shared
-anchor (``|a|b|a|b|`` -> ``|ab|a|b|``). A second identical pass finishes
-the job: pass 1 merges the 1st/3rd/5th… occurrences of each run, leaving
-the survivors non-adjacent with intact anchors, so pass 2 merges them all
-(``-> |ab|ab|``), and a merged symbol can never create a fresh ``(a, b)``
-adjacency (its neighbors see ``ab``, not ``b``). Two passes therefore
-reproduce the classic greedy array merge exactly — property-tested against
-a pure-python reference, and replayed bit-for-bit by the q77 oracle's
-generated chained CTEs in DuckDB.
+matches (``|a|bx|`` never matches ``|a|b|``), but one pass misses an
+occurrence whose leading anchor the previous match consumed
+(``|a|b|a|b|`` -> ``|ab|a|b|``); a second identical pass merges those
+survivors (``-> |ab|ab|``), and a merged symbol can never create a fresh
+``(a, b)`` adjacency (its neighbors see ``ab``, not ``b``).
+
+For every pair with ``left != right`` the two passes reproduce the
+classic greedy array merge exactly (consecutive occurrences are disjoint,
+so greedy takes them all and so do the passes). For SELF-pairs
+(``left == right``) in an abutting run of odd length >= 5 the PAIRING
+POSITIONS differ from classic greedy: ``a a a a a`` + merge(a,a) yields
+``aa a aa`` here (pass 1 pairs (1,2) and (4,5)) where classic greedy
+yields ``aa aa a`` — the same number of merges, a different remainder
+position, which can steer later merge choices on corpora with long
+single-symbol runs ("aaaaa", "hahahaha"). This variant is DETERMINISTIC,
+engine-exact, and pinned by tests against a pure-python mirror of the
+two-pass semantics (`tests/test_bpe.py::_merge_ref`, with the divergence
+case asserted explicitly); the q77 oracle replays it bit-for-bit in
+DuckDB.
 
 Driver state per iteration: ONE (pair, count) row. The vocab table is
 re-persisted each iteration (previous cache released), so an iteration
@@ -79,23 +88,30 @@ def _pair_counts(reps: DataFrame) -> DataFrame:
     """Adjacent-pair counts over the vocab relation, weighted by word
     frequency. ``pair`` is 'a<SEP>b' (the anchored search string minus its
     outer anchors)."""
-    # let-binding (dedup.shingles pattern): bind the symbol array once so
-    # the rep string isn't re-split per pair element after CollapseProject
-    pairs = F.expr(
-        f"transform(array(s), ss -> transform(sequence(0, size(ss) - 2), "
-        f"i -> concat(ss[i], '{SEP}', ss[i+1])))[0]")
+    # let-bound pair building (analysis.gram_array with SEP as the joiner):
+    # binds the symbol array once so the rep string isn't re-split per pair
+    # element after CollapseProject
+    from .analysis import gram_array
+
     return (
         reps.select("cnt", _symbols().alias("s"))
         .filter(F.size("s") >= 2)
-        .select("cnt", F.explode(pairs).alias("pair"))
+        .select("cnt",
+                F.explode(gram_array(F.col("s"), 2, sep=SEP)).alias("pair"))
         .groupBy("pair").agg(F.sum("cnt").alias("c"))
     )
 
 
 def _sql_str(s: str) -> str:
-    """SQL expression for a literal that may contain SEP (rendered as a
-    char(31) call so generated SQL stays printable)."""
-    parts = ["'" + p.replace("'", "''") + "'" for p in s.split(SEP)]
+    """Spark SQL expression for a literal that may contain SEP (rendered
+    as a char(31) call so generated SQL stays printable). Backslashes must
+    be escaped FIRST: Spark string literals treat ``\\`` as an escape
+    char, so a learned symbol containing one (Windows paths, LaTeX,
+    escaped JSON — ordinary web text) would otherwise generate an
+    unparseable or silently corrupted literal mid-training."""
+    def lit(p: str) -> str:
+        return "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    parts = [lit(p) for p in s.split(SEP)]
     return ("concat(" + ", char(31), ".join(parts) + ")"
             if len(parts) > 1 else parts[0])
 

@@ -80,19 +80,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "url",
         .select(F.col(id_col).alias("id"), F.split(F.trim(text_col), r"\s+").alias("t"))
         .filter(F.size("t") >= n)
     )
-    # let-binding: the outer transform(array(t), tt -> ...) evaluates the
-    # token array ONCE and binds it as a lambda variable — without it,
-    # CollapseProject inlines the split() into every tt[i+k] access and the
-    # text is re-split per gram element (HOF lambdas don't codegen, so that
-    # runs interpreted; measured 2x on shingle gen, 21x on denser lambdas)
-    parts = ", ".join(f"tt[i + {k}]" for k in range(n))
+    # let-bound gram building (analysis.gram_array): the token array
+    # evaluates ONCE per row — without the binding, CollapseProject inlines
+    # the split() into every per-gram access and the text re-splits
+    # interpreted per element (HOF lambdas don't codegen; measured 2x on
+    # shingle gen, 21x on denser lambdas)
+    from .analysis import gram_array
+
     out = toks.select(
-        "id",
-        F.explode(
-            F.expr(f"transform(array(t), tt -> transform(sequence(0, size(tt) - {n}), "
-                   f"i -> concat_ws('_', {parts})))[0]")
-        ).alias("shingle"),
-    )
+        "id", F.explode(gram_array(F.col("t"), n)).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -4,7 +4,7 @@ library — every stage is the library call, not a reimplementation.
 
     pages ──extract──► extracted(ok)
           ──quality gate──► q-kept           (analysis.quality_filter_columns)
-          ──repetition gate──► r-kept        (analysis.repetition_columns)
+          ──repetition gate──► r-kept        (analysis.repetition_keep_expr)
           ──PII scrub──► scrubbed            (analysis.pii_redact_columns)
           ──exact dedup──► canonical only    (dedup.best_copy)
           ──near-dup clusters──► one per cluster
@@ -44,7 +44,7 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     last persist — ``unpersist()`` it after the final write.
     """
     from .analysis import (pii_redact_columns, quality_filter_columns,
-                           repetition_columns)
+                           repetition_keep_expr)
     from .dedup import best_copy, connected_components, minhash_lsh_pairs
     from .sampling import stratified_sample
 
@@ -84,25 +84,23 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
-    # the token array MUST materialize behind a persist barrier before the
-    # repetition gate consumes it: without one, CollapseProject inlines the
-    # split() into every array access inside the gate's transform() lambda
-    # — higher-order-function lambdas don't codegen, so the text is then
-    # re-split interpreted O(n_tokens) times per row (measured 21x on the
-    # gates stage; the r3 stopword bug one level deeper). The cache holds
-    # one stage's token arrays (MEMORY_AND_DISK, spills at scale) and is
-    # released as soon as the gated stage materializes.
-    toked = ok.withColumn("_t", toks).persist()
-    _, r_keep = repetition_columns("_t")
+    # the repetition gate is a LET-BOUND expression (analysis.
+    # repetition_keep_expr): the token array binds once per row inside the
+    # gate itself, so CollapseProject cannot inline the split() into every
+    # per-gram array access — without the binding, HOF lambdas (which
+    # never codegen) re-split the text O(n_grams) times per row
+    # interpreted (measured 21x on this stage; the r3 stopword bug one
+    # level deeper). No extra cache needed: the gate evaluates in the same
+    # projection as the quality gate and the PII scrub.
+    r_keep = repetition_keep_expr(toks)
     _, red = pii_redact_columns(text_col)
-    gated = (toked.filter(q_keep.cast("boolean"))
-                  .filter(r_keep.cast("boolean"))
-                  .withColumn(text_col, red).drop("_t"))
+    gated = (ok.filter(q_keep.cast("boolean"))
+               .filter(r_keep.cast("boolean"))
+               .withColumn(text_col, red))
     # stage boundaries are persisted: every later stage AND each report
     # count would otherwise recompute extraction + the gates from the scan
     gated = gated.persist()
     report["after_gates"] = gated.count()
-    toked.unpersist()
     raw.unpersist()
 
     # --- exact dedup: keep the best copy per content group ---------------
@@ -223,13 +221,12 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     report["input"] = base.count()
 
     # --- decontamination: drop docs sharing any n-gram with the bench ----
-    # let-binding (dedup.shingles pattern): the corpus side reads the
+    # let-bound grams (analysis.gram_array): the corpus side reads the
     # persisted _t, but the bench side's split would otherwise inline into
     # every per-gram access
-    gram = F.expr(
-        f"transform(array(_t), tt -> transform(sequence(0, size(tt) - "
-        f"{gram_n}), i -> concat_ws('_', "
-        f"{', '.join(f'tt[i+{j}]' for j in range(gram_n))})))[0]")
+    from .analysis import gram_array
+
+    gram = gram_array(F.col("_t"), gram_n)
 
     def _grams(d):
         return (d.filter(F.size("_t") >= gram_n)

@@ -598,13 +598,10 @@ def q14(spark, sf_dir):
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
         .filter(F.size("t") >= 2)
     )
+    from .analysis import gram_array as _ga
+
     grams = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(array(t), tt -> transform(sequence(0, size(tt) - 2), "
-            "i -> concat(tt[i], '_', tt[i+1])))[0]"
-        )).alias("g"),
-    ).distinct()
+        "doc_id", F.explode(_ga(F.col("t"), 2)).alias("g")).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     gdf = grams.groupBy("g").agg(F.count("*").alias("d"))
     gf = grams.join(gdf.filter(F.col("d") <= _MAX_GRAM_DF).select("g"), "g")
@@ -2275,9 +2272,9 @@ def q60(spark, sf_dir):
     toks = (d.filter(F.length(F.trim("text")) > 0)
             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
             .filter(F.size("t") >= _DECON_N))
-    gram = F.expr(
-        "transform(array(t), tt -> transform(sequence(0, size(tt) - 5), i -> "
-        "concat_ws('_', tt[i], tt[i+1], tt[i+2], tt[i+3], tt[i+4])))[0]")
+    from .analysis import gram_array as _ga
+
+    gram = _ga(F.col("t"), _DECON_N)
     grams = (toks.select("doc_id", F.explode(gram).alias("g"))
              .select("doc_id", h(F.col("g")).alias("gh")).distinct())
     bench = (grams.filter(F.pmod("doc_id", F.lit(_DECON_BENCH_MOD)) == 0)
@@ -3265,9 +3262,13 @@ def _q78_sql() -> str:
     sep = "chr(31)"
     rep = "rep"
     for i in range(_BPE_MERGES):
-        s = f"(SELECT {sep} || pair || {sep} FROM best{i})"
-        r = (f"(SELECT {sep} || replace(pair, {sep}, '') || {sep} "
-             f"FROM best{i})")
+        # COALESCE to a never-occurring NUL search: if training exhausts
+        # before step i, best{i} is empty and the bare scalar subquery
+        # would NULL-propagate replace() into NULL n_tokens for every doc
+        # (the Spark side just applies the shorter merge list)
+        s = f"coalesce((SELECT {sep} || pair || {sep} FROM best{i}), chr(0))"
+        r = (f"coalesce((SELECT {sep} || replace(pair, {sep}, '') || {sep} "
+             f"FROM best{i}), chr(0))")
         rep = f"replace(replace({rep}, {s}, {r}), {s}, {r})"
     return (_bpe_ctes() + f""",
     docrep AS (
