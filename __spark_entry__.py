@@ -122,18 +122,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# extraction-engine queries (rows-only: no SQL equivalent for the HTML/PDF
-# parse itself; correctness is the pytest byte-identity gate)
+# extraction-engine queries: the HTML/PDF parse itself has no SQL
+# equivalent (pytest byte-identity is that gate), but each job's COMMITTED
+# OUTPUT gets an invariant oracle over landed parquet wherever possible
 # --------------------------------------------------------------------------
 
+import tempfile as _tempfile_early  # noqa: E402
+
+_Q90_LAND = os.path.join(_tempfile_early.gettempdir(), "webextract_q90_land")
+
+_Q90_ORACLE_SQL = f"""
+SELECT status, content_type, COUNT(*) AS n_docs,
+       CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS total_text_bytes,
+       COUNT(DISTINCT md5(coalesce(text, ''))) AS n_distinct_texts,
+       CAST(SUM(n_blocks) AS BIGINT) AS total_blocks
+FROM read_parquet('{_Q90_LAND}/extracted/*.parquet')
+GROUP BY 1, 2
+"""
+
 def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction corpus profile, oracle-checked by INVARIANT (the q91
+    fixed-path trick): the extraction output is landed to parquet and both
+    engines aggregate the SAME files — per-(status, content_type) counts,
+    text byte volume, and distinct-md5-of-text cardinality. The parse
+    itself stays pytest-gated (byte identity); this pins that the shipped
+    job's committed output matches what an independent engine reads back."""
     from webextract.sparkjob import extract_df
 
     _ship_package(spark)
     pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
     ex = extract_df(pages, num_partitions=16)
-    return ex.select("url", "status", "content_type", "n_blocks",
-                     F.length("text").alias("text_len"))
+    (ex.select("url", "status", "content_type", "n_blocks", "text")
+     .write.mode("overwrite").parquet(os.path.join(_Q90_LAND, "extracted")))
+    landed = spark.read.parquet(os.path.join(_Q90_LAND, "extracted"))
+    return (
+        landed.groupBy("status", "content_type")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.octet_length(F.coalesce("text", F.lit(""))))
+              .alias("total_text_bytes"),
+             F.count_distinct(F.md5(F.coalesce("text", F.lit(""))))
+              .alias("n_distinct_texts"),
+             F.sum("n_blocks").alias("total_blocks"))
+    )
 
 
 import tempfile  # noqa: E402
@@ -883,6 +913,53 @@ def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.md5("clean_text").alias("clean_md5"), "n_kept", "n_removed")
 
 
+# q80: adversarial-graph connected components (large-star/small-star,
+# dedup.connected_components_star) over a PLANTED graph whose component
+# labels are a closed form of the vertex id — full oracle without recursion.
+# Topology per 25-vertex group g: even g = a 25-long CHAIN (the case that
+# breaks diameter-bound Hash-Min at scale), odd g = a STAR centered on a
+# NON-minimum member (25g+7); every 5th group bridges into the next, so some
+# components are 50-vertex chain+star composites. Component min id is
+# 25 * (g - 1 if g % 5 == 1 else g) for every vertex — what both engines
+# compute.
+_Q80_LAND = os.path.join(tempfile.gettempdir(), "webextract_q80_land")
+
+_Q80_ORACLE_SQL = f"""
+SELECT id,
+       25 * (CASE WHEN (id // 25) % 5 = 1 THEN (id // 25) - 1
+             ELSE id // 25 END) AS cluster_id
+FROM read_parquet('{_Q80_LAND}/vertices/*.parquet')
+"""
+
+
+def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver pin for the long-chain-safe CC path (VERDICT r4 missing #3):
+    star contraction must converge on chains, stars centered off-minimum,
+    and bridged composites — label = component minimum for every vertex,
+    singletons included via the ``vertices`` frame."""
+    from webextract.dedup import connected_components_star
+
+    _ship_package(spark)
+    n_groups = max(8, min(200, int(4000 * _sf_of(sf_dir))))
+    vs = spark.range(n_groups * 25).select("id")
+    vs.write.mode("overwrite").parquet(os.path.join(_Q80_LAND, "vertices"))
+    vs = spark.read.parquet(os.path.join(_Q80_LAND, "vertices"))
+    g = F.floor(F.col("id") / 25)
+    pos = F.col("id") % 25
+    chain = (vs.filter((g % 2 == 0) & (pos < 24))
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1).alias("id_b")))
+    star = (vs.filter((g % 2 == 1) & (pos != 7))
+            .select((g * 25 + 7).alias("id_a"), F.col("id").alias("id_b")))
+    bridge = (vs.filter((g % 5 == 0) & (pos == 24) & (g + 1 < n_groups))
+              .select(F.col("id").alias("id_a"),
+                      (F.col("id") + 1).alias("id_b")))
+    edges = chain.unionByName(star).unionByName(bridge)
+    return (connected_components_star(edges, vertices=vs, id_col="id")
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id")))
+
+
 def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation recipe (pipeline.curate) with every stage count
     re-derived by the DuckDB oracle from the landed extraction output."""
@@ -918,64 +995,54 @@ def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # never driver-verified oracles (r3 cap) + this round's new entries
-    "q33_salted_heavy_hitter_agg",
-    "q36_media_type_profile",
-    "q55_url_canonicalization",
-    "q91_extract_eval_rollup",
-    "q93_stream_extract",
-    "q94_resume_metrics",
-    "q95_stream_dedup",
-    "q57_warc_roundtrip",
-    "q58_curate_pipeline",
-    "q59_jsonl_compact_roundtrip",
-    "q60_decontamination",
-    "q61_unigram_lm_score",
-    "q62_boilerplate_strip",
-    "q63_stream_sessions",
-    "q64_quantile_sketch",
-    "q65_sequence_packing",
-    "q66_bloom_membership",
-    "q67_bm25_retrieval",
-    "q68_semdedup",
-    "q69_domain_reputation",
-    "q70_dsir_importance",
-    "q71_dup_substring_spans",
-    "q72_mixture_weights",
-    "q73_pretrain_prep",
-    "q74_hybrid_rrf_fusion",
-    "q75_adaptive_quantile_gate",
-    "q76_group_aware_split",
-    "q77_bpe_train",
-    "q78_bpe_encode",
-    "q79_passage_chunking",
-    # green in r2 but past the r3 window
-    "q27_heterogeneous_routing",
-    "q28_bpeish_token_counts",
-    "q29_winnow_fingerprints",
-    "q90_extract_corpus",
-    "q92_media_features",
-]
-
-_VERIFY_LAST = [
-    # r1-era stalwarts, green in every round they were checked
-    "q01_pricing_summary", "q02_revenue_by_segment", "q03_top_customers",
-    "q04_latest_event_per_user", "q05_customers_without_big_orders",
-    "q06_filtered_events", "q07_event_type_setops", "q08_event_rollup",
-    "q20_user_event_pivot", "q21_customers_with_recent_orders",
-    "q22_lineitem_cube", "q23_orders_by_month",
-    "q24_event_value_percentiles", "q25_json_props", "q10_token_counts",
-    "q11_quality_scores", "q13_exact_dedup", "q14_ngram_jaccard_pairs",
-    "q15_cosine_topk", "q16_embedding_near_pairs", "q17_minhash_near_pairs",
-    "q18_simhash_fingerprints",
-    # full-oracle green in r3, rotated out to make window room for the new
-    # round-4 operators (q67-q72)
+    # (r5 rotation, VERDICT r4 next-round #1) — helpers `shingles`,
+    # stopword/token-count, `repetition_columns` changed in r4 AFTER these
+    # entries' last (r3) driver rows; verify the shipped bytes first
+    "q10_token_counts", "q11_quality_scores", "q14_ngram_jaccard_pairs",
+    "q17_minhash_near_pairs", "q18_simhash_fingerprints",
+    "q35_gopher_quality_filter", "q39_repetition_signals",
+    # new or code-changed THIS round (q90 gained its invariant oracle;
+    # q80/q81 are new; bpe.py changed for q77/q78)
+    "q90_extract_corpus", "q80_cc_star", "q81_bpe_encode_batch",
+    "q77_bpe_train", "q78_bpe_encode",
+    # r3-green entries rotated out of the r4 window — refresh
     "q19_ann_topk", "q26_ivf_topk", "q30_source_profile",
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
-    "q35_gopher_quality_filter", "q39_repetition_signals",
     "q40_top_terms_by_source", "q41_pii_redaction", "q43_asof_join",
     "q47_range_join_banded", "q48_kmv_distinct_sketch",
     "q49_best_copy_dedup",
+    # r1-era stalwarts whose last row is also r3
+    "q01_pricing_summary", "q02_revenue_by_segment", "q03_top_customers",
+    "q04_latest_event_per_user", "q05_customers_without_big_orders",
+    "q06_filtered_events", "q07_event_type_setops", "q08_event_rollup",
+    "q13_exact_dedup", "q15_cosine_topk", "q16_embedding_near_pairs",
+    "q20_user_event_pivot", "q21_customers_with_recent_orders",
+    "q22_lineitem_cube", "q23_orders_by_month",
+    "q24_event_value_percentiles", "q25_json_props",
+    # r4-green fillers kept warm: pipelines + operators adjacent to this
+    # round's code changes (cli unpersist, sim docstring) or watch items
+    "q58_curate_pipeline", "q73_pretrain_prep", "q68_semdedup",
+    "q60_decontamination", "q67_bm25_retrieval", "q71_dup_substring_spans",
+    "q44_session_window_builtin", "q28_bpeish_token_counts",
+    "q29_winnow_fingerprints", "q12_langid_heuristic",
+]
+
+_VERIFY_LAST = [
+    # green in r4 (their code is unchanged since) — rotate past the window
+    "q09_doc_stats_by_lang", "q27_heterogeneous_routing",
+    "q31_exact_dedup_hashed", "q33_salted_heavy_hitter_agg",
+    "q36_media_type_profile", "q37_dedup_clusters", "q38_stratified_sample",
+    "q42_sessionize", "q45_per_source_cap", "q46_tfidf_top_terms",
+    "q50_regional_revenue", "q51_hourly_gapfill", "q52_rolling_activity",
+    "q53_salted_hot_key_join", "q54_cms_frequency_sketch",
+    "q55_url_canonicalization", "q56_crawl_diff", "q57_warc_roundtrip",
+    "q59_jsonl_compact_roundtrip", "q61_unigram_lm_score",
+    "q62_boilerplate_strip", "q63_stream_sessions", "q64_quantile_sketch",
+    "q65_sequence_packing", "q66_bloom_membership", "q69_domain_reputation",
+    "q70_dsir_importance", "q72_mixture_weights", "q74_hybrid_rrf_fusion",
+    "q75_adaptive_quantile_gate", "q76_group_aware_split",
+    "q79_passage_chunking", "q91_extract_eval_rollup", "q92_media_features",
+    "q93_stream_extract", "q94_resume_metrics", "q95_stream_dedup",
 ]
 
 
@@ -1003,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q59_jsonl_compact_roundtrip"] = _q_jsonl_compact_roundtrip
     out["q62_boilerplate_strip"] = _q_boilerplate_strip
     out["q63_stream_sessions"] = _q_stream_sessions
+    out["q80_cc_star"] = _q_cc_star
     return _verify_order(out)
 
 
@@ -1010,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
     from webextract import queries as q
 
     out = dict(q.oracle_sql())
+    out["q90_extract_corpus"] = _Q90_ORACLE_SQL
     out["q91_extract_eval_rollup"] = _Q91_ORACLE_SQL
     out["q36_media_type_profile"] = _Q36_ORACLE_SQL
     out["q55_url_canonicalization"] = _Q55_ORACLE_SQL
@@ -1021,4 +1090,5 @@ def oracle_sql() -> dict[str, str]:
     out["q59_jsonl_compact_roundtrip"] = _Q59_ORACLE_SQL
     out["q62_boilerplate_strip"] = _Q62_ORACLE_SQL
     out["q63_stream_sessions"] = _Q63_ORACLE_SQL
+    out["q80_cc_star"] = _Q80_ORACLE_SQL
     return _verify_order(out)

@@ -151,7 +151,82 @@ def bpe_train(docs: DataFrame, *, n_merges: int,
             merges.append((step, left, right, left + right, c))
             nxt = reps.select(
                 "cnt", F.expr(merge_expr(pair)).alias("rep")).persist()
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                nxt.unpersist()  # materialization failed: the finally
+                raise            # below only releases reps, so free nxt here
+            reps.unpersist()
+            reps = nxt
+    finally:
+        reps.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+                "pair_count long")
+
+
+def bpe_train_batched(docs: DataFrame, *, n_merges: int, batch_k: int = 8,
+                      text_col: str = "text") -> DataFrame:
+    """BPE training with MULTI-MERGE rounds: each |vocab| scan selects up
+    to ``batch_k`` symbol-DISJOINT pairs from one frequency snapshot
+    (descending count, lexicographic tie-break) and applies them all
+    before the next scan — cutting driver round-trips from ``n_merges``
+    to ~``n_merges / batch_k``, the standard distributed-BPE batching.
+
+    SEMANTICS (deterministic variant, pinned by tests): disjointness makes
+    the batched applications commute and keeps every selected pair's own
+    count exact (merging (a,b) only perturbs counts of pairs containing a
+    or b), so each batch equals sequentially applying its members in
+    snapshot order. The sequence can diverge from single-merge
+    :func:`bpe_train` only when a merge's NEWLY CREATED pair (x, ab)
+    outranks a later batch member — classic greedy would take (x, ab)
+    next, the batch has already committed. ``batch_k=1`` is exactly
+    classic (differential-tested); larger k is the documented
+    throughput/fidelity trade every distributed trainer makes. Output
+    schema matches :func:`bpe_train` (step = global merge index in
+    applied order; pair_count = the snapshot count).
+    """
+    spark = docs.sparkSession
+    reps = (word_counts(docs, text_col=text_col)
+            .select("cnt", _initial_rep().alias("rep"))
+            .persist())
+    reps.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            want = min(batch_k, n_merges - len(merges))
+            # over-fetch: disjointness filtering drops some of the top rows
+            top = (_pair_counts(reps)
+                   .orderBy(F.col("c").desc(), F.col("pair"))
+                   .limit(want * 4 + 8).collect())
+            if not top:
+                break
+            used: set[str] = set()
+            picked: list[tuple[str, int]] = []
+            for row in top:
+                left, right = row["pair"].split(SEP)
+                fused = left + right
+                # a batch member must not share a symbol with any earlier
+                # member (count independence) NOR with its fused output
+                # (a later member matching the new symbol would see stale
+                # counts)
+                if used & {left, right, fused}:
+                    continue
+                picked.append((row["pair"], int(row["c"])))
+                used |= {left, right, fused}
+                if len(picked) == want:
+                    break
+            rep_sql = "rep"
+            for pair, c in picked:
+                left, right = pair.split(SEP)
+                merges.append((len(merges), left, right, left + right, c))
+                rep_sql = merge_expr(pair, rep_sql)
+            nxt = reps.select("cnt", F.expr(rep_sql).alias("rep")).persist()
+            try:
+                nxt.count()
+            except Exception:
+                nxt.unpersist()
+                raise
             reps.unpersist()
             reps = nxt
     finally:
@@ -187,6 +262,11 @@ def bpe_apply(docs: DataFrame, merges: list[str], *,
     2 x len(merges) nested ``replace`` calls, zero shuffles, zero Python.
     Returns (id, n_words, n_tokens) where n_tokens counts post-merge BPE
     symbols (END_WORD markers included, matching what a dataloader feeds).
+
+    TIER: right up to a few hundred merges; past that the nested
+    expression tree exceeds codegen limits. For production vocab sizes
+    (30k-100k merges) use :func:`bpe_apply_batch` — byte-identical,
+    differential-tested, cost independent of merge-list length.
     """
     rep_sql = "rep"
     for pair in merges:
@@ -201,3 +281,121 @@ def bpe_apply(docs: DataFrame, merges: list[str], *,
         .select(id_col, F.col("n_words").cast("long").alias("n_words"),
                 "n_tokens")
     )
+
+
+def bpe_apply_batch(docs: DataFrame, merges: list[str], *,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Production-vocab BPE tokenization: the mapInPandas escape hatch
+    :func:`bpe_apply`'s docstring names. The nested-replace plan is
+    unbeatable up to a few hundred merges but is 2 x n_merges nested
+    ``replace`` calls in one expression — at real tokenizer sizes
+    (30k-100k merges) that expression tree exceeds codegen limits and
+    falls back interpreted, or fails to build at all. This path ships the
+    merge list once per executor (broadcast), tokenizes each UNIQUE word
+    with the standard min-rank merge loop (HuggingFace-style encode), and
+    memoizes per task — cost per word is O(applied_merges x len),
+    independent of vocabulary size, and the Zipfian word cache makes the
+    common case a dict hit.
+
+    BYTE-IDENTICAL to :func:`bpe_apply` (differential-tested, and q81
+    shares q78's oracle): the per-word min-rank loop with a monotone rank
+    floor replays the in-order nested-replace sequence exactly —
+
+    - merges never match across word boundaries (:func:`_doc_rep`), so
+      per-word application == whole-document application;
+    - each applied merge uses the same TWO-PASS left-to-right
+      non-overlapping array merge as ``merge_expr`` (self-pair runs pair
+      up identically);
+    - picking the minimum present rank >= floor equals trying every merge
+      in order: a merge can only create pairs containing its own fused
+      symbol, so a pair below the current minimum can never (re)appear
+      (the floor guards the string-collision corner where two distinct
+      merges fuse to equal strings).
+
+    Same pre-filter, same output schema/columns as :func:`bpe_apply`:
+    (id, n_words, n_tokens), END_WORD markers counted.
+    """
+    from pyspark.sql import types as T
+
+    parts = []
+    for pair in merges:
+        left, right = pair.split(SEP)
+        parts.append((left, right))
+    spark = docs.sparkSession
+    b_parts = spark.sparkContext.broadcast(parts)
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ])
+    src = (docs.filter(F.length(F.trim(text_col)) > 0)
+           .select(F.col(id_col), F.col(text_col).alias("_bpe_text")))
+
+    def _tokenize(batches):
+        import re
+
+        import pandas as pd
+
+        merge_list = b_parts.value
+        rank = {p: i for i, p in enumerate(merge_list)}
+        # Java \s (Spark's split regex) is exactly this class — Python \s
+        # would also split on unicode spaces and silently diverge
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        cache: dict[str, int] = {}
+
+        def word_n_tokens(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            # split('', w) yields [''] for the empty word on the SQL side
+            syms = (list(word) if word else [""]) + [END_WORD]
+            floor = 0
+            while True:
+                best = -1
+                n = len(syms)
+                for i in range(n - 1):
+                    r = rank.get((syms[i], syms[i + 1]), -1)
+                    if r >= floor and (best < 0 or r < best):
+                        best = r
+                if best < 0:
+                    break
+                left, right = merge_list[best]
+                fused = left + right
+                for _ in range(2):  # merge_expr's double pass
+                    # ANCHORED pass, not plain greedy: a string-replace
+                    # match consumes its trailing SEP, so the next match
+                    # cannot start at the immediately following symbol
+                    # (just_merged skip) — self-pair runs pair up as
+                    # |aa|a|aa|, matching merge_expr exactly
+                    out = []
+                    i, n, just_merged = 0, len(syms), False
+                    while i < n:
+                        if (i + 1 < n and not just_merged
+                                and syms[i] == left
+                                and syms[i + 1] == right):
+                            out.append(fused)
+                            i += 2
+                            just_merged = True
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                            just_merged = False
+                    syms = out
+                floor = best + 1
+            cache[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf["_bpe_text"]):
+                # trim() strips 0x20 only; mirror exactly
+                words = ws.split(text.strip(" "))
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_tokens.append(sum(word_n_tokens(w) for w in words))
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_tokens": n_tokens})
+
+    return src.mapInPandas(_tokenize, schema=out_schema)

@@ -142,6 +142,7 @@ def cmd_prep(args) -> int:
         gram_n=args.gram_n, text_col=args.text_col, id_col=args.id_col,
         source_col=args.source_col)
     out.write.mode("overwrite").parquet(args.output)
+    out.unpersist()  # pretrain_prep returns the persisted frame
     print(json.dumps({"output": args.output, "stages": report}))
     return 0
 

@@ -3311,6 +3311,30 @@ def q78(spark, sf_dir):
     return bpe_apply(d, merges)
 
 
+@register(
+    "q81_bpe_encode_batch",
+    _q78_sql(),
+    doc="production-vocab BPE tokenization (bpe.bpe_apply_batch): the "
+        "mapInPandas escape hatch q78's plan needs past a few hundred "
+        "merges — broadcast merge ranks, per-unique-word min-rank merge "
+        "loop with a monotone rank floor, Zipfian word memoization per "
+        "task. BYTE-IDENTICAL to bpe_apply (same pre-filter, same "
+        "two-pass merge semantics, differential-tested at every tier in "
+        "tests/test_bpe.py), so it shares q78's oracle verbatim: the "
+        "driver proves the Python batch path against DuckDB's replay of "
+        "the nested-replace plan. Cost per word is O(applied_merges x "
+        "len) independent of vocab size — the path that holds at 100k "
+        "merges where a 200k-deep replace tree cannot codegen.",
+)
+def q81(spark, sf_dir):
+    from .bpe import SEP, bpe_apply_batch, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    trained = bpe_train(d, n_merges=_BPE_MERGES).orderBy("step").collect()
+    merges = [r.left + SEP + r.right for r in trained]
+    return bpe_apply_batch(d, merges)
+
+
 _CHUNK_W, _CHUNK_S = 48, 32
 
 

@@ -299,9 +299,19 @@ def semdedup(df: DataFrame, *, tau: float,
 
     A vector is DROPPED iff some other vector in its cluster has cosine
     >= ``tau`` with it and a smaller id — the deterministic "min-id
-    dominates" rule, which needs no transitive closure (every above-``tau``
-    pair resolves locally: the larger id loses). Returns one row per input
-    vector: (id, cluster, kept int).
+    dominates" rule, which needs no transitive closure (each pair's verdict
+    is local: the larger id loses). Returns one row per input vector:
+    (id, cluster, kept int).
+
+    Chain semantics (deterministic variant, pinned by tests): a dominator
+    may itself be dropped, so on a similarity CHAIN 1-2, 2-3 with
+    cos(1,3) < tau only id 1 survives — classic SemDeDup's
+    keep-one-per-group would keep {1, 3}. This over-prunes relative to the
+    paper on chained neighborhoods; it never under-prunes (every dropped
+    vector has SOME above-``tau`` neighbor with a smaller id, just not
+    necessarily a KEPT one). If representative coverage matters, restrict
+    dominators to kept vectors by running connected_components on the
+    above-``tau`` pair graph and keeping each component's min id.
 
     Scale shape: cluster assignment is the IVF fold (all-JVM, bit
     reproducible with literal ``centroids``; trains a deterministic k-means
@@ -311,9 +321,9 @@ def semdedup(df: DataFrame, *, tau: float,
     the partition key and each cluster prunes independently — SemDeDup's
     published design point (clusters sized to fit one worker). The k-means
     centroid count grows as sqrt(corpus) to keep clusters bounded; the
-    dominance rule keeps exactly one representative per tight semantic
-    neighborhood (the min id; swap the id for a quality column upstream to
-    keep the best copy, as pipeline.curate does for text near-dup).
+    dominance rule keeps the min id of each pairwise-above-``tau``
+    neighborhood (swap the id for a quality column upstream to keep the
+    best copy, as pipeline.curate does for text near-dup).
     """
     if centroids is None:
         raw = kmeans_centroids(df, n_centroids=n_centroids,
