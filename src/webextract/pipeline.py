@@ -168,6 +168,39 @@ def curate(pages: DataFrame, *, lang_rates: dict[str, int] | None = None,
     return survivors, report
 
 
+def _rebalance(clean: DataFrame, *, hash_fn: str = "md5_60") -> DataFrame:
+    """pretrain_prep's temperature-rebalance stage, returned LAZILY so its
+    plan is inspectable (tests/test_pipeline.py asserts the rate table
+    broadcasts and nothing degenerates to CartesianProduct). ``clean``
+    needs (id, source, n_tokens); keeps every column.
+
+    Per-source token mass m_i gets weight w_i = isqrt(m_i); keep rate =
+    min(1000, (w_i * sum_m * 1000) div (sum_w * m_i)) permille, gated by
+    hash_bucket(id) — deterministic, never upsamples."""
+    from .sampling import hash_bucket
+
+    mass = clean.groupBy("source").agg(F.sum("n_tokens").alias("m"))
+    tot = mass.agg(F.sum("m").alias("sum_m"),
+                   F.sum(F.floor(F.sqrt("m")).cast("long")).alias("sum_w"))
+    # the rate product is computed in decimal(38,0): w * sum_m * 1000
+    # wraps int64 already at a ~4e10-token corpus (w ~ sqrt(m) ~ 2e5 times
+    # sum_m ~ 5e10 times 1000), far below pretraining scale — a silent
+    # wrap would turn the rate negative and drop the source entirely
+    rate_expr = ("CAST((CAST(w AS DECIMAL(38,0)) * sum_m * 1000) div "
+                 "(CAST(sum_w AS DECIMAL(38,0)) * m) AS BIGINT)")
+    rates = (mass.crossJoin(F.broadcast(tot))
+             .withColumn("w", F.floor(F.sqrt("m")).cast("long"))
+             .withColumn(
+                 "rate",
+                 F.when(F.col("m") == 0, F.lit(1000)).otherwise(
+                     F.least(F.lit(1000).cast("long"), F.expr(rate_expr)))
+                 .cast("int"))
+             .select("source", "rate"))
+    return (clean.join(F.broadcast(rates), "source")
+            .filter(hash_bucket("id", buckets=1000, hash_fn=hash_fn)
+                    < F.col("rate")))
+
+
 def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
                   capacity: int = 2048, shards: int = 32, gram_n: int = 5,
                   text_col: str = "text", id_col: str = "doc_id",
@@ -244,27 +277,7 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     base.unpersist()
 
     # --- temperature rebalance: alpha=0.5 quota per source ---------------
-    mass = clean.groupBy("source").agg(F.sum("n_tokens").alias("m"))
-    tot = mass.agg(F.sum("m").alias("sum_m"),
-                   F.sum(F.floor(F.sqrt("m")).cast("long")).alias("sum_w"))
-    # the rate product is computed in decimal(38,0): w * sum_m * 1000
-    # wraps int64 already at a ~4e10-token corpus (w ~ sqrt(m) ~ 2e5 times
-    # sum_m ~ 5e10 times 1000), far below pretraining scale — a silent
-    # wrap would turn the rate negative and drop the source entirely
-    rate_expr = ("CAST((CAST(w AS DECIMAL(38,0)) * sum_m * 1000) div "
-                 "(CAST(sum_w AS DECIMAL(38,0)) * m) AS BIGINT)")
-    rates = (mass.crossJoin(F.broadcast(tot))
-             .withColumn("w", F.floor(F.sqrt("m")).cast("long"))
-             .withColumn(
-                 "rate",
-                 F.when(F.col("m") == 0, F.lit(1000)).otherwise(
-                     F.least(F.lit(1000).cast("long"), F.expr(rate_expr)))
-                 .cast("int"))
-             .select("source", "rate"))
-    mixed = (clean.join(F.broadcast(rates), "source")
-             .filter(hash_bucket("id", buckets=1000, hash_fn=hash_fn)
-                     < F.col("rate"))
-             .persist())
+    mixed = _rebalance(clean, hash_fn=hash_fn).persist()
     report["after_rebalance"] = mixed.count()
     clean.unpersist()
 

@@ -119,3 +119,52 @@ def test_pretrain_prep_rebalance_rates_are_downsample_only(spark):
     assert n_tiny == 9, "tiny sources must keep everything"
     assert n_big < 40, "dominant source must be downsampled"
     assert report["after_decontamination"] == 49  # bench shares no grams
+
+
+def test_rebalance_plan_broadcasts_rate_table(spark):
+    """VERDICT r4 #6 plan guard: the per-source rate table must BROADCAST
+    into the corpus gate (never a shuffle join), the 1-row totals relation
+    must be a broadcast nested-loop (never CartesianProduct), and the
+    corpus side must not exchange for the join at all."""
+    from webextract.pipeline import _rebalance
+
+    clean = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id") % 7).alias("source"),
+        (F.col("id") % 300 + 10).alias("n_tokens"))
+    plan = (_rebalance(clean)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only exchange allowed is the rate table's own groupBy; the
+    # corpus side joins map-side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_decontamination_plan_broadcasts_bench_index(spark):
+    """q60's contamination join: the benchmark gram index broadcasts, the
+    shuffle keys carry the 60-bit gram HASH (gh) — never the raw n-gram
+    string."""
+    from webextract import queries as q
+
+    df = q.queries()["q60_decontamination"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    ex_lines = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    for ln in ex_lines:
+        assert " g#" not in ln, f"raw gram string shuffled: {ln}"
+
+
+def test_semdedup_plan_is_cluster_blocked(spark):
+    """q68's pairwise stage must be an equi-join on the cluster key —
+    never CartesianProduct, never a broadcast of the full vector side."""
+    from webextract.sim import semdedup
+
+    d = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5]) for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    out = semdedup(d, tau=0.9, centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
