@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--max-merges", type=int, default=1000)
     args = ap.parse_args()
 
+    # same driver-heap sizing rationale as bench.py: one local JVM hosts
+    # every executor thread + the 1k-round training loop's bookkeeping
+    os.environ.setdefault("WEBEXTRACT_DRIVER_MEM", "16g")
     from webextract.bpe import SEP, bpe_apply, bpe_apply_batch, \
         bpe_train_batched
     from webextract.session import get_spark

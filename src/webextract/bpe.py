@@ -149,13 +149,14 @@ def bpe_train(docs: DataFrame, *, n_merges: int,
             pair, c = top[0]["pair"], int(top[0]["c"])
             left, right = pair.split(SEP)
             merges.append((step, left, right, left + right, c))
-            nxt = reps.select(
-                "cnt", F.expr(merge_expr(pair)).alias("rep")).persist()
-            try:
-                nxt.count()
-            except Exception:
-                nxt.unpersist()  # materialization failed: the finally
-                raise            # below only releases reps, so free nxt here
+            # localCheckpoint (eager) materializes AND truncates lineage:
+            # with plain persist the logical plan still nests one replace
+            # layer per round, and by a few hundred merges the driver dies
+            # in plan-tree stringification (measured: JVM heap OOM in
+            # generateTreeString at ~1k merges). Blocks are |vocab|-sized;
+            # superseded ones are freed by the ContextCleaner.
+            nxt = (reps.select("cnt", F.expr(merge_expr(pair)).alias("rep"))
+                   .localCheckpoint(eager=True))
             reps.unpersist()
             reps = nxt
     finally:
@@ -221,12 +222,11 @@ def bpe_train_batched(docs: DataFrame, *, n_merges: int, batch_k: int = 8,
                 left, right = pair.split(SEP)
                 merges.append((len(merges), left, right, left + right, c))
                 rep_sql = merge_expr(pair, rep_sql)
-            nxt = reps.select("cnt", F.expr(rep_sql).alias("rep")).persist()
-            try:
-                nxt.count()
-            except Exception:
-                nxt.unpersist()
-                raise
+            # eager localCheckpoint: see bpe_train — truncates the
+            # one-replace-layer-per-round logical plan that OOMs the
+            # driver's plan stringification at production merge counts
+            nxt = (reps.select("cnt", F.expr(rep_sql).alias("rep"))
+                   .localCheckpoint(eager=True))
             reps.unpersist()
             reps = nxt
     finally:

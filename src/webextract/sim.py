@@ -293,7 +293,7 @@ def semdedup(df: DataFrame, *, tau: float,
              centroids: list[list[float]] | None = None,
              n_centroids: int = 8, n_iter: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 7) -> DataFrame:
+             seed: int = 7, mode: str = "minid") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster +
     within-cluster cosine pruning.
 
@@ -303,15 +303,22 @@ def semdedup(df: DataFrame, *, tau: float,
     is local: the larger id loses). Returns one row per input vector:
     (id, cluster, kept int).
 
-    Chain semantics (deterministic variant, pinned by tests): a dominator
-    may itself be dropped, so on a similarity CHAIN 1-2, 2-3 with
-    cos(1,3) < tau only id 1 survives — classic SemDeDup's
-    keep-one-per-group would keep {1, 3}. This over-prunes relative to the
-    paper on chained neighborhoods; it never under-prunes (every dropped
-    vector has SOME above-``tau`` neighbor with a smaller id, just not
-    necessarily a KEPT one). If representative coverage matters, restrict
-    dominators to kept vectors by running connected_components on the
-    above-``tau`` pair graph and keeping each component's min id.
+    Two keep rules, selected by ``mode``:
+
+    - ``"minid"`` (default): a pair's verdict is local — the larger id
+      loses. A dominator may itself be dropped, so on a similarity CHAIN
+      1-2, 2-3 with cos(1,3) < tau only id 1 survives. Cheapest shape (one
+      distinct over the pair ids, no iteration); never under-prunes (every
+      dropped vector has SOME above-``tau`` neighbor with a smaller id,
+      just not necessarily a KEPT one).
+    - ``"component"`` (paper semantics): duplicate GROUPS are the connected
+      components of the above-``tau`` pair graph (within clusters — edges
+      never cross clusters) and exactly the min id of each group survives,
+      so every dropped vector is transitively linked to its kept
+      representative. Uses :func:`webextract.dedup.connected_components`
+      (Hash-Min; ids must be numeric — xxhash64 string ids upstream).
+      Neither rule subsumes the other: on edges (1,3),(2,3) minid keeps
+      {1,2} while component keeps {1} (2 and 3 share the group through 3).
 
     Scale shape: cluster assignment is the IVF fold (all-JVM, bit
     reproducible with literal ``centroids``; trains a deterministic k-means
@@ -347,8 +354,19 @@ def semdedup(df: DataFrame, *, tau: float,
     )
     pairs = pairwise_near(assigned, tau=tau, vec_col=vec_col, id_col=id_col,
                           block_col="cluster")
-    # id_b is dominated (some same-cluster id_a < id_b with cos >= tau)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if mode == "component":
+        from .dedup import connected_components
+
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        # group min survives: cluster_id IS the component min under Hash-Min
+        dropped = (comp.filter(F.col("id") != F.col("cluster_id"))
+                   .select(F.col("id").alias(id_col)))
+    elif mode == "minid":
+        # id_b is dominated (some same-cluster id_a < id_b with cos >= tau)
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"semdedup: unknown mode {mode!r} "
+                         "(expected 'minid' or 'component')")
     return (
         assigned.join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
         .select(id_col, "cluster",

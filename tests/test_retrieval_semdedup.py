@@ -109,6 +109,50 @@ def test_semdedup_cluster_blocking_blinds_cross_cluster_pairs(spark):
     assert out == {1: 1, 2: 1}
 
 
+def test_semdedup_component_mode_keeps_one_per_duplicate_group(spark):
+    """Paper semantics: groups = connected components of the above-tau
+    graph; exactly the group min survives. Star graph edges (1,3),(2,3)
+    (cos(1,2) < tau) is the case where the two rules DIVERGE: minid keeps
+    {1,2}, component collapses the whole group to {1}."""
+    d = _vecs(spark, [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7071, 0.7071]),
+        (9, [-1.0, -1.0]),  # isolate: kept in both modes
+    ])
+    cents = [[0.5, 0.5]]  # one cluster — blocking out of the picture
+    minid = {r.vec_id: r.kept for r in
+             semdedup(d, tau=0.7, centroids=cents).collect()}
+    comp = {r.vec_id: r.kept for r in
+            semdedup(d, tau=0.7, centroids=cents,
+                     mode="component").collect()}
+    assert minid == {1: 1, 2: 1, 3: 0, 9: 1}
+    assert comp == {1: 1, 2: 0, 3: 0, 9: 1}
+
+
+def test_semdedup_component_mode_chain_keeps_group_min_only(spark):
+    # chain 1-2, 2-3 with cos(1,3) >= tau impossible here: vectors at
+    # 0deg, 40deg, 80deg with tau = cos(45deg) — adjacent pairs qualify,
+    # the ends do not. Both modes keep only the group min (id 1); the
+    # component mode additionally GUARANTEES 3's kept representative is
+    # reachable through its group.
+    import math
+    rows = [(i + 1, [math.cos(math.radians(40 * i)),
+                     math.sin(math.radians(40 * i))]) for i in range(3)]
+    d = _vecs(spark, rows)
+    comp = semdedup(d, tau=math.cos(math.radians(45)),
+                    centroids=[[1.0, 0.0]], mode="component").collect()
+    assert {r.vec_id: r.kept for r in comp} == {1: 1, 2: 0, 3: 0}
+
+
+def test_semdedup_rejects_unknown_mode(spark):
+    d = _vecs(spark, [(1, [1.0, 0.0])])
+    try:
+        semdedup(d, tau=0.9, centroids=[[1.0, 0.0]], mode="nope")
+    except ValueError as e:
+        assert "mode" in str(e)
+    else:
+        raise AssertionError("unknown mode must raise")
+
+
 def test_semdedup_trains_deterministic_centroids_when_none_given(spark):
     d = _vecs(spark, [(i, [float(i % 5) + 1.0, float((i * 3) % 7) + 1.0])
                       for i in range(30)])
