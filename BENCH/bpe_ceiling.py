@@ -55,10 +55,18 @@ def main() -> int:
                .orderBy("step").collect())
     merges = [r.left + SEP + r.right for r in trained]
     train_s = round(time.time() - t0, 2)
+    n_real = len(merges)
 
-    tiers = [t for t in (50, 200, 1000) if t <= len(merges)] or [len(merges)]
-    if len(merges) not in tiers:
-        tiers.append(len(merges))
+    # the synthetic corpus's vocabulary saturates well before production
+    # merge counts, so tiers past the trained list are PADDED with
+    # never-matching pairs (the test_bpe 30k trick: 'padNx|padNy' symbols
+    # can never be formed). Padding is the honest probe of merge-LIST cost:
+    # the nested path pays 2 replaces per list entry whether or not the
+    # pair occurs; the batch path pays a rank-dict miss.
+    merges += [f"pad{i}x{SEP}pad{i}y"
+               for i in range(max(0, args.max_merges - n_real))]
+    tiers = sorted({t for t in (50, 200, 1000, args.max_merges)
+                    if t <= len(merges)} | {n_real})
 
     def run(fn, ms):
         t = time.time()
@@ -82,11 +90,13 @@ def main() -> int:
             if res["nested"] else None,
             "nested_failed": nested_dead,
             "batch_best_s": round(min(res["batch"]), 3),
+            "padded": tier > n_real,
         }
 
     print(json.dumps({
         "metric": "bpe_apply nested-replace vs mapInPandas batch",
-        "sf": args.sf, "n_docs": n_docs, "n_merges_trained": len(merges),
+        "sf": args.sf, "n_docs": n_docs, "n_merges_trained": n_real,
+        "n_merges_padded_to": len(merges),
         "train_batched_s": train_s, "runs_per_cell": args.runs,
         "tiers": out,
     }))
