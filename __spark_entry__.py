@@ -414,18 +414,60 @@ def _q_media_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q92 lands the FEATURE OUTPUT (the q90 invariant-oracle trick): the fake
+# decoder is a named Python seam no SQL engine can replay, but its committed
+# output is just parquet — both engines aggregate the SAME landed files, so
+# the oracle pins that the shipped mapInPandas job's output (dims, durations,
+# feature vectors, per-row statuses) survives a round-trip to an independent
+# reader. Float columns are pinned exactly via fixed-point casts (ms / 1e-6)
+# — the landed doubles are 3- and 6-decimal constructions, so the scaled
+# values sit far from any .5 rounding boundary in either engine.
+_Q92_LAND = os.path.join(tempfile.gettempdir(), "webextract_q92_land")
+
+_Q92_ORACLE_SQL = f"""
+SELECT media_type, status, COUNT(*) AS n,
+       CAST(SUM(COALESCE(width, 0)) AS BIGINT) AS sum_width,
+       CAST(SUM(COALESCE(height, 0)) AS BIGINT) AS sum_height,
+       CAST(SUM(CAST(ROUND(COALESCE(duration_sec, 0) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_dur_ms,
+       COUNT(features) AS n_feat,
+       CAST(SUM(CASE WHEN features IS NOT NULL
+                THEN CAST(ROUND(list_sum(features) * 1000000) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_feat_micro
+FROM read_parquet('{_Q92_LAND}/features/*.parquet')
+GROUP BY 1, 2
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic fake blobs → probe + features."""
+    """Multimodal plumbing: deterministic fake blobs → probe + features,
+    landed to parquet and oracle-checked by INVARIANT over the landed files
+    (per-(type, status) counts, exact dimension sums, fixed-point duration
+    and feature-vector mass). The decode itself stays a documented seam
+    (multimodal.FakeDecoder shadows the named real-codec dependency)."""
     from webextract.multimodal import media_features
 
     _ship_package(spark)
     n = max(50, min(2000, int(10_000 * _sf_of(sf_dir))))
     df = spark.createDataFrame(_media_blob_rows(n), "media_id string, blob binary")
-    feats = media_features(df)
+    (media_features(df)
+     .write.mode("overwrite").parquet(os.path.join(_Q92_LAND, "features")))
+    landed = spark.read.parquet(os.path.join(_Q92_LAND, "features"))
+    feat_sum = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
     return (
-        feats.groupBy("media_type", "status")
-        .agg(F.count("*").alias("n"))
-        .orderBy("media_type", "status")
+        landed.groupBy("media_type", "status")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.coalesce("width", F.lit(0))).cast("long")
+              .alias("sum_width"),
+             F.sum(F.coalesce("height", F.lit(0))).cast("long")
+              .alias("sum_height"),
+             F.sum(F.round(F.coalesce("duration_sec", F.lit(0.0)) * 1000)
+                    .cast("long")).cast("long").alias("sum_dur_ms"),
+             F.count("features").alias("n_feat"),
+             F.sum(F.when(F.col("features").isNotNull(),
+                          F.round(feat_sum * 1000000).cast("long"))
+                    .otherwise(F.lit(0))).cast("long")
+              .alias("sum_feat_micro"))
     )
 
 
@@ -1001,10 +1043,10 @@ _VERIFY_FIRST = [
     "q10_token_counts", "q11_quality_scores", "q14_ngram_jaccard_pairs",
     "q17_minhash_near_pairs", "q18_simhash_fingerprints",
     "q35_gopher_quality_filter", "q39_repetition_signals",
-    # new or code-changed THIS round (q90 gained its invariant oracle;
+    # new or code-changed THIS round (q90 and q92 gained invariant oracles;
     # q80/q81 are new; bpe.py changed for q77/q78)
-    "q90_extract_corpus", "q80_cc_star", "q81_bpe_encode_batch",
-    "q77_bpe_train", "q78_bpe_encode",
+    "q90_extract_corpus", "q92_media_features", "q80_cc_star",
+    "q81_bpe_encode_batch", "q77_bpe_train", "q78_bpe_encode",
     # r3-green entries rotated out of the r4 window — refresh
     "q19_ann_topk", "q26_ivf_topk", "q30_source_profile",
     "q32_lsh_blocked_near_pairs", "q34_incremental_dedup",
@@ -1041,7 +1083,7 @@ _VERIFY_LAST = [
     "q65_sequence_packing", "q66_bloom_membership", "q69_domain_reputation",
     "q70_dsir_importance", "q72_mixture_weights", "q74_hybrid_rrf_fusion",
     "q75_adaptive_quantile_gate", "q76_group_aware_split",
-    "q79_passage_chunking", "q91_extract_eval_rollup", "q92_media_features",
+    "q79_passage_chunking", "q91_extract_eval_rollup",
     "q93_stream_extract", "q94_resume_metrics", "q95_stream_dedup",
 ]
 
@@ -1091,4 +1133,5 @@ def oracle_sql() -> dict[str, str]:
     out["q62_boilerplate_strip"] = _Q62_ORACLE_SQL
     out["q63_stream_sessions"] = _Q63_ORACLE_SQL
     out["q80_cc_star"] = _Q80_ORACLE_SQL
+    out["q92_media_features"] = _Q92_ORACLE_SQL
     return _verify_order(out)
