@@ -229,3 +229,78 @@ def test_dup_substring_spans_brute_force_differential(spark):
     got = {r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_permille)
            for r in dup_substring_spans(d, k=k).collect()}
     assert got == expected
+
+
+def test_semdedup_component_mode_random_matches_union_find(spark):
+    """Seeded-random differential for the r5 component mode: kept/dropped
+    must equal union-find over the above-tau pair graph computed in pure
+    Python with the SAME sequential fold arithmetic (dot and norm are
+    left-to-right IEEE sums in both engines, so the cosine compare is
+    bit-identical — no epsilon needed). Pins BOTH paper guarantees on
+    messy inputs: exactly the component min survives per duplicate group,
+    and edges never cross clusters."""
+    import math
+    import random
+
+    from webextract.sim import semdedup as _sd
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s += x * x
+        return math.sqrt(s)
+
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        rows, i = [], 0
+        for _ in range(12):
+            base = [rng.uniform(-1.0, 1.0) for _ in range(4)]
+            for _ in range(rng.randrange(1, 4)):  # jittered clones
+                rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in base]))
+                i += 1
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+               _sd(d, tau=0.98, centroids=cents, mode="component").collect()}
+
+        # first-max argmax over dot == ivf_assign_expr on normalized cents
+        def assign(v):
+            best, bi = None, 0
+            for ci, c in enumerate(cents):
+                dv = dot(v, c)
+                if best is None or dv > best:
+                    best, bi = dv, ci
+            return bi
+
+        vecs = dict(rows)
+        clus = {k: assign(v) for k, v in rows}
+        parent = {k: k for k in vecs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(vecs)
+        for a in ids:
+            for b in ids:
+                if a < b and clus[a] == clus[b]:
+                    cos = dot(vecs[a], vecs[b]) / (norm(vecs[a]) * norm(vecs[b]))
+                    if cos >= 0.98:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for x in ids:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: (clus[x], 1 if comp_min[find(x)] == x else 0) for x in ids}
+        assert got == want, seed
