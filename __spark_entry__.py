@@ -1066,11 +1066,14 @@ _VERIFY_FIRST = [
     "q58_curate_pipeline", "q73_pretrain_prep", "q68_semdedup",
     "q60_decontamination", "q67_bm25_retrieval", "q71_dup_substring_spans",
     "q44_session_window_builtin", "q28_bpeish_token_counts",
-    "q29_winnow_fingerprints", "q12_langid_heuristic",
+    "q29_winnow_fingerprints",
 ]
 
 _VERIFY_LAST = [
     # green in r4 (their code is unchanged since) — rotate past the window
+    # (q12 displaced from the head by q92's r5 oracle: r4-green, no code
+    # change since its row)
+    "q12_langid_heuristic",
     "q09_doc_stats_by_lang", "q27_heterogeneous_routing",
     "q31_exact_dedup_hashed", "q33_salted_heavy_hitter_agg",
     "q36_media_type_profile", "q37_dedup_clusters", "q38_stratified_sample",

@@ -293,3 +293,22 @@ def test_bpe_train_batched_semantics_pinned(spark):
          .orderBy("step").collect()]
     assert a == b and len(a) == 8
     assert all(r[4] > 0 for r in a)
+
+
+def test_bpe_apply_batch_plan_is_single_arrow_stage(spark):
+    """Plan guard for the production path (q81): parquet-free here, but the
+    shape must be scan -> projection -> ONE MapInPandas with ZERO
+    exchanges (the whole point of the batch path is per-partition
+    tokenization with a broadcast merge list), and the merge list itself
+    must ride the broadcast — never appear inlined in the plan."""
+    from webextract.bpe import bpe_apply_batch
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(10)],
+        "doc_id long, text string")
+    merges = ["l" + SEP + "o", "lo" + SEP + "w"]
+    out = bpe_apply_batch(df, merges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "lo" + SEP not in plan, "merge list inlined into the plan"

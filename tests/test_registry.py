@@ -34,10 +34,9 @@ def test_window_holds_everything_unverified_or_new():
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
-    # q90 gained a landed-parquet invariant oracle in r5; q92 stays
-    # rows-only forever (codec-fake media features aren't SQL-expressible)
-    rows_only = {"q92_media_features"}
+    # as of r5 EVERY entry carries a full oracle: q90 and q92 use the
+    # landed-parquet invariant pattern (the Python seams aren't
+    # SQL-expressible, but their committed output is)
     osql = entry.oracle_sql()
     for n in entry.queries():
-        assert n in osql or n in rows_only, f"{n} silently lost its oracle"
-    assert set(osql) & rows_only == set()
+        assert n in osql, f"{n} silently lost its oracle"

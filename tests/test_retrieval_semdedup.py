@@ -304,3 +304,57 @@ def test_semdedup_component_mode_random_matches_union_find(spark):
             comp_min[r] = min(comp_min.get(r, x), x)
         want = {x: (clus[x], 1 if comp_min[find(x)] == x else 0) for x in ids}
         assert got == want, seed
+
+
+def test_bm25_random_differential_vs_integer_reference(spark):
+    """Seeded-random differential: bm25_topk vs a pure-Python replay of the
+    integer surrogate (every op is exact int arithmetic — `div` == Python
+    `//` on the nonnegative operands here — so the comparison is ==, no
+    tolerance). Pins corpus stats, df, the scaled idf/tf pipeline, set
+    semantics for duplicate query terms, and the (score desc, id asc)
+    top-k on random worlds."""
+    import random
+
+    K1_X10, B_X1000, IDF_SCALE, TF_SCALE = 12, 750, 1_000_000, 10_000
+    vocab = [f"w{j}" for j in range(8)]
+
+    for seed in (31, 32):
+        rng = random.Random(seed)
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 13))))
+                for i in range(20)]
+        queries = {qid: [rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 4))]
+                   for qid in range(3)}
+        d = _docs(spark, docs)
+        got = [(r["query_id"], r["rank"], r["doc_id"], r["score"])
+               for r in bm25_topk(d, queries, k=5)
+               .orderBy("query_id", "rank").collect()]
+
+        toks = {i: t.split() for i, t in docs}
+        dl = {i: len(ts) for i, ts in toks.items()}
+        n_docs = len(docs)
+        avgdl = sum(dl.values()) // n_docs
+        tf = {}
+        for i, ts in toks.items():
+            for w in ts:
+                tf[(w, i)] = tf.get((w, i), 0) + 1
+        df = {}
+        for (w, _i) in tf:
+            df[w] = df.get(w, 0) + 1
+        want = []
+        for qid in sorted(queries):
+            scores = {}
+            for w in set(queries[qid]):
+                for i in toks:
+                    t = tf.get((w, i))
+                    if not t:
+                        continue
+                    lf1000 = 250 + (B_X1000 * dl[i]) // avgdl
+                    k10000 = K1_X10 * lf1000
+                    idf_s = ((n_docs - df[w]) * IDF_SCALE) // (df[w] + 1)
+                    tf_s = (t * TF_SCALE * IDF_SCALE) // (t * TF_SCALE + k10000)
+                    scores[i] = scores.get(i, 0) + (idf_s * tf_s) // IDF_SCALE
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            want += [(qid, r + 1, i, s) for r, (i, s) in enumerate(ranked)]
+        assert got == want, seed
