@@ -127,9 +127,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # OUTPUT gets an invariant oracle over landed parquet wherever possible
 # --------------------------------------------------------------------------
 
-import tempfile as _tempfile_early  # noqa: E402
+import tempfile  # noqa: E402
 
-_Q90_LAND = os.path.join(_tempfile_early.gettempdir(), "webextract_q90_land")
+_Q90_LAND = os.path.join(tempfile.gettempdir(), "webextract_q90_land")
 
 _Q90_ORACLE_SQL = f"""
 SELECT status, content_type, COUNT(*) AS n_docs,
@@ -165,8 +165,6 @@ def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_blocks").alias("total_blocks"))
     )
 
-
-import tempfile  # noqa: E402
 
 # q91 lands its inputs here so the DuckDB oracle can compute the identical
 # join + metrics + rollup over the SAME parquet files the Spark side reads

@@ -238,7 +238,7 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     n_chunks), per-stage report). Stage boundaries are persisted like
     :func:`curate`; ``unpersist()`` the result after the final write.
     """
-    from .sampling import hash_bucket, pack_sequences
+    from .sampling import pack_sequences
 
     report: dict[str, int] = {}
     fn, _ = HASH_FNS[hash_fn]

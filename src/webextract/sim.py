@@ -293,7 +293,8 @@ def semdedup(df: DataFrame, *, tau: float,
              centroids: list[list[float]] | None = None,
              n_centroids: int = 8, n_iter: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 7, mode: str = "minid") -> DataFrame:
+             seed: int = 7, mode: str = "minid",
+             cc: str = "auto", cc_max_iter: int = 25) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by k-means cluster +
     within-cluster cosine pruning.
 
@@ -315,10 +316,19 @@ def semdedup(df: DataFrame, *, tau: float,
       components of the above-``tau`` pair graph (within clusters — edges
       never cross clusters) and exactly the min id of each group survives,
       so every dropped vector is transitively linked to its kept
-      representative. Uses :func:`webextract.dedup.connected_components`
-      (Hash-Min; ids must be numeric — xxhash64 string ids upstream).
-      Neither rule subsumes the other: on edges (1,3),(2,3) minid keeps
-      {1,2} while component keeps {1} (2 and 3 share the group through 3).
+      representative. Ids must be INTEGRAL (the CC label arithmetic casts
+      to long) — non-integral id columns raise ``TypeError``; key string
+      ids by ``xxhash64`` upstream (``"minid"`` accepts any orderable id).
+      CC strategy is picked by ``cc``: ``"auto"`` (default) runs Hash-Min
+      with a ``cc_max_iter`` diameter budget — within-cluster near-dup
+      graphs are quasi-cliques, 2-3 rounds — and on a budget blowout
+      (a drifting-template similarity CHAIN deeper than the budget) falls
+      back to :func:`webextract.dedup.connected_components_star`
+      (O(log^2 n) rounds on any topology); ``"hashmin"`` / ``"star"``
+      force one strategy (hashmin then raises instead of falling back).
+      Neither keep rule subsumes the other: on edges (1,3),(2,3) minid
+      keeps {1,2} while component keeps {1} (2 and 3 share the group
+      through 3).
 
     Scale shape: cluster assignment is the IVF fold (all-JVM, bit
     reproducible with literal ``centroids``; trains a deterministic k-means
@@ -355,10 +365,35 @@ def semdedup(df: DataFrame, *, tau: float,
     pairs = pairwise_near(assigned, tau=tau, vec_col=vec_col, id_col=id_col,
                           block_col="cluster")
     if mode == "component":
-        from .dedup import connected_components
+        from .dedup import connected_components, connected_components_star
 
-        comp = connected_components(pairs, src="id_a", dst="id_b")
-        # group min survives: cluster_id IS the component min under Hash-Min
+        # loud guard: CC casts ids to long, so a string id column would
+        # become all-NULL join keys and "converge" to zero dedup silently
+        dt = dict(df.dtypes)[id_col]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"semdedup(mode='component'): id column {id_col!r} has "
+                f"type {dt}; connected-components label arithmetic needs "
+                "an integral id — key string ids by xxhash64 upstream "
+                "(mode='minid' accepts any orderable id type)")
+        if cc == "star":
+            comp = connected_components_star(pairs, src="id_a", dst="id_b")
+        elif cc in ("auto", "hashmin"):
+            try:
+                comp = connected_components(pairs, src="id_a", dst="id_b",
+                                            max_iter=cc_max_iter)
+            except RuntimeError:
+                if cc != "auto":
+                    raise
+                # diameter blowout (similarity chain): rerun with the
+                # long-chain-safe contraction; same (id, cluster_id =
+                # component min) contract
+                comp = connected_components_star(pairs, src="id_a",
+                                                 dst="id_b")
+        else:
+            raise ValueError(f"semdedup: unknown cc {cc!r} "
+                             "(expected 'auto', 'hashmin', or 'star')")
+        # group min survives: cluster_id IS the component min
         dropped = (comp.filter(F.col("id") != F.col("cluster_id"))
                    .select(F.col("id").alias(id_col)))
     elif mode == "minid":

@@ -143,6 +143,48 @@ def test_semdedup_component_mode_chain_keeps_group_min_only(spark):
     assert {r.vec_id: r.kept for r in comp} == {1: 1, 2: 0, 3: 0}
 
 
+def test_semdedup_component_rejects_non_integral_ids(spark):
+    """The CC label arithmetic casts ids to long; a string id would become
+    all-NULL join keys and silently dedup NOTHING. component mode must
+    refuse loudly; minid mode keeps working on the same orderable ids."""
+    import pytest
+
+    d = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("z", [0.0, 1.0])],
+        "vec_id string, embedding array<float>")
+    cents = [[1.0, 0.0]]
+    minid = {r.vec_id: r.kept for r in
+             semdedup(d, tau=0.9, centroids=cents).collect()}
+    assert minid == {"a": 1, "b": 0, "z": 1}
+    with pytest.raises(TypeError, match="integral"):
+        semdedup(d, tau=0.9, centroids=cents, mode="component")
+
+
+def test_semdedup_component_auto_falls_back_to_star_on_chain(spark):
+    """cc='auto': a similarity chain deeper than the Hash-Min budget must
+    fall back to star contraction and still keep exactly the group min;
+    cc='hashmin' with the same budget raises instead (strict)."""
+    import math
+
+    import pytest
+
+    rows = [(i + 1, [math.cos(math.radians(40 * i)),
+                     math.sin(math.radians(40 * i))]) for i in range(3)]
+    d = _vecs(spark, rows)
+    tau, cents = math.cos(math.radians(45)), [[1.0, 0.0]]
+    comp = semdedup(d, tau=tau, centroids=cents, mode="component",
+                    cc_max_iter=1).collect()
+    assert {r.vec_id: r.kept for r in comp} == {1: 1, 2: 0, 3: 0}
+    star = semdedup(d, tau=tau, centroids=cents, mode="component",
+                    cc="star").collect()
+    assert {r.vec_id: r.kept for r in star} == {1: 1, 2: 0, 3: 0}
+    with pytest.raises(RuntimeError, match="max_iter"):
+        semdedup(d, tau=tau, centroids=cents, mode="component",
+                 cc="hashmin", cc_max_iter=1).collect()
+    with pytest.raises(ValueError, match="cc"):
+        semdedup(d, tau=tau, centroids=cents, mode="component", cc="nope")
+
+
 def test_semdedup_rejects_unknown_mode(spark):
     d = _vecs(spark, [(1, [1.0, 0.0])])
     try:
