@@ -56,9 +56,14 @@ VOID_TAGS = frozenset(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
-    """One visible text block plus the evidence needed to score it."""
+    """One visible text block plus the evidence needed to score it.
+
+    ``slots=True``: ~40k Blocks per Arrow batch make this one of the
+    hottest allocations after stack frames; slots cut the per-instance
+    dict and speed the attribute traffic in handle_data/_merge_if_nested.
+    """
 
     kind: str                      # title | paragraph | quote
     tag: str
