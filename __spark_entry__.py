@@ -1059,12 +1059,14 @@ _VERIFY_FIRST = [
     "q20_user_event_pivot", "q21_customers_with_recent_orders",
     "q22_lineitem_cube", "q23_orders_by_month",
     "q24_event_value_percentiles", "q25_json_props",
-    # r4-green fillers kept warm: pipelines + operators adjacent to this
-    # round's code changes (cli unpersist, sim docstring) or watch items
+    # r4-green fillers whose CODE changed this round — verify as shipped:
+    # q58/q91/q93/q94/q95 all run the extraction path (fasthtml finditer
+    # rework + Block slots, byte-identity-pinned but driver-fresh is the
+    # standard); q68 sits on sim.py (component-mode hardening); q73 on
+    # pipeline.py. q67/q71 ride along from the r4-warm set.
     "q58_curate_pipeline", "q73_pretrain_prep", "q68_semdedup",
-    "q60_decontamination", "q67_bm25_retrieval", "q71_dup_substring_spans",
-    "q44_session_window_builtin", "q28_bpeish_token_counts",
-    "q29_winnow_fingerprints",
+    "q91_extract_eval_rollup", "q93_stream_extract", "q94_resume_metrics",
+    "q95_stream_dedup", "q67_bm25_retrieval", "q71_dup_substring_spans",
 ]
 
 _VERIFY_LAST = [
@@ -1084,8 +1086,11 @@ _VERIFY_LAST = [
     "q65_sequence_packing", "q66_bloom_membership", "q69_domain_reputation",
     "q70_dsir_importance", "q72_mixture_weights", "q74_hybrid_rrf_fusion",
     "q75_adaptive_quantile_gate", "q76_group_aware_split",
-    "q79_passage_chunking", "q91_extract_eval_rollup",
-    "q93_stream_extract", "q94_resume_metrics", "q95_stream_dedup",
+    "q79_passage_chunking",
+    # displaced from the head by the r5c extraction-path rotation: all four
+    # r4/r5-green with no code change since their rows
+    "q44_session_window_builtin", "q28_bpeish_token_counts",
+    "q29_winnow_fingerprints", "q60_decontamination",
 ]
 
 
