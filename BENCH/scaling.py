@@ -283,8 +283,22 @@ def main():
         f"--runs {args.runs} --pairs {args.pairs}`",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines))
+    # Preserve everything from the measurement-history section onward —
+    # the harness owns only the header block above it; the history table
+    # and the per-round analysis sections are maintained by hand.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    marker = "## Measurement history"
+    try:
+        with open(path) as f:
+            old = f.read()
+        idx = old.find(marker)
+        if idx != -1:
+            tail = "\n" + old[idx:]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + tail)
 
 
 if __name__ == "__main__":
