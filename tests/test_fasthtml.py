@@ -117,3 +117,25 @@ def test_comment_close_matches_stdlib():
     for html in cases:
         assert _blocks_sig(parse_blocks_fast(html, CLASS_BLOCKLIST)) == \
             _blocks_sig(parse_blocks(html, CLASS_BLOCKLIST)), html
+
+
+def test_rawtext_comment_spanning_close_matches_stdlib():
+    """r5c finditer scan: a comment OPENING inside a raw-text body and
+    closing after the close tag is consumed by the comment match, hiding
+    the tags in between — the documented contract widening routes such
+    documents to the stdlib fallback. Both parsers treat raw text as
+    running to the FIRST close tag, so output stays identical either way."""
+    cases = [
+        # comment swallows </script> and a following <p>
+        "<div><script>x <!-- </script><p>hi --> ok</p><p>tail</p></div>",
+        # same shape for <style>
+        "<p>a</p><style>s <!-- </style><p>b --> c</p>",
+        # benign raw-text comment fully inside the body (stays on fast path)
+        "<p>a</p><script>x <!-- y --> z</script><p>b</p>",
+        # close tag inside the comment is still the raw-text terminator
+        "<script><!-- </script> --><p>q</p>",
+    ]
+    for html in cases:
+        fast = parse_blocks_fast(html, CLASS_BLOCKLIST)
+        slow = parse_blocks(html, CLASS_BLOCKLIST)
+        assert _blocks_sig(fast) == _blocks_sig(slow), html
