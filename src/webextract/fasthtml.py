@@ -44,8 +44,13 @@ _ATTR_RE = re.compile(
 # raw-text (CDATA) elements: content runs to the matching close tag, no
 # markup inside. Exactly html.parser's CDATA_CONTENT_ELEMENTS — title and
 # textarea are parsed as normal markup by the stdlib, so here too.
+# The close pattern is the stdlib's own (set_cdata_mode's `interesting`):
+# the FIRST `</\s*tag\s*>` ends the element; near-misses like `</script/>`
+# or `</script foo>` are NOT closes (stdlib scans past them as data, which
+# BlockParser suppresses) while `</ script>` IS one. Using the identical
+# regex keeps the fast path byte-faithful without a fallback.
 _RAWTEXT = {"script", "style"}
-_RAW_CLOSE = {t: re.compile(rf"</{t}(?=[\s/>])|</{t}>", re.I) for t in _RAWTEXT}
+_RAW_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _RAWTEXT}
 
 _HAS_AMP = "&"
 
@@ -162,22 +167,29 @@ def tokenize_into(p: BlockParser, html: str) -> None:
                 if c is None:
                     raise FastTokenizerFallback(f"unterminated <{tag}>")
                 # raw text is NOT entity-decoded by the stdlib parser either,
-                # but BlockParser suppresses it entirely; skip to close tag
-                gt = find(">", c.start())
-                if gt == -1:
-                    raise FastTokenizerFallback(f"unterminated </{tag}")
+                # but BlockParser suppresses it entirely; skip past the
+                # stdlib-exact close match
                 handle_endtag(tag)
-                i = gt + 1
+                i = c.end()
         else:
             endtag = g(_G_END)
             if endtag is not None:
                 handle_endtag(endtag.lower())
-            elif g(_G_DECL) is not None and html[s + 1:s + 4] == "!--":
-                # `<!--` fell through to the decl branch only because the
-                # comment never closes with `--\s*>` (stdlib _commentclose
-                # semantics); the stdlib's unterminated-comment EOF recovery
-                # is intricate — don't guess, fall back.
-                raise FastTokenizerFallback(f"unterminated comment at {s}")
+            elif g(_G_DECL) is not None:
+                if html[s + 1:s + 4] == "!--":
+                    # `<!--` fell through to the decl branch only because
+                    # the comment never closes with `--\s*>` (stdlib
+                    # _commentclose semantics); the stdlib's unterminated-
+                    # comment EOF recovery is intricate — don't guess,
+                    # fall back.
+                    raise FastTokenizerFallback(f"unterminated comment at {s}")
+                if html[s + 1:s + 3] == "![":
+                    # marked section (<![CDATA[..]]>, <![if..]> …): the
+                    # stdlib scans to `]]>`/`]>` by section keyword (so the
+                    # body may contain '>', which our decl regex would stop
+                    # at) and even raises on unknown keywords — don't
+                    # replicate, fall back.
+                    raise FastTokenizerFallback(f"marked section at {s}")
             # else: comment / declaration / processing instruction — invisible
     if i < n:
         text = html[i:]

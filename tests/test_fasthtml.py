@@ -139,3 +139,30 @@ def test_rawtext_comment_spanning_close_matches_stdlib():
         fast = parse_blocks_fast(html, CLASS_BLOCKLIST)
         slow = parse_blocks(html, CLASS_BLOCKLIST)
         assert _blocks_sig(fast) == _blocks_sig(slow), html
+
+
+def test_rawtext_close_is_stdlib_exact():
+    """r5c review findings: the raw-text close must be the stdlib's OWN
+    pattern (set_cdata_mode's `</\\s*tag\\s*>`): near-miss closes like
+    </script/> or </script foo> do NOT end the element (stdlib scans past
+    them as suppressed data), while </ script> and </script > DO. Marked
+    sections (<![CDATA[..]]>, <![if..]>) take the stdlib fallback — their
+    ]]>-scanned bodies may contain '>'."""
+    cases = [
+        "<b><p> <script></script/>y--</script\t>",
+        "<p>a<script>x</script/>hidden</script>b</p>",
+        "<p>a<script>x</script foo>hidden</script>b</p>",
+        "<p>a<script>x</ script>b</p>",
+        "<p>a<script>x</ SCRIPT >b</p>",
+        "<p>a<script>x</scriptx></script>b</p>",
+        "<p>a<style>s</style/>h</style>b</p>",
+        "<p>a<script>x</script >b</p>",
+        "<li><![CDATA[y -->",
+        "<p>a<![CDATA[x]]>b</p>",
+        "<p>a<![CDATA[x > y]]>b</p>",
+        "<p>a<![if !IE]>x<![endif]>b</p>",
+    ]
+    for html in cases:
+        fast = parse_blocks_fast(html, CLASS_BLOCKLIST)
+        slow = parse_blocks(html, CLASS_BLOCKLIST)
+        assert _blocks_sig(fast) == _blocks_sig(slow), html
