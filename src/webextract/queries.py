@@ -691,21 +691,19 @@ _COS_PAIR_TAU = 0.45
     doc="embedding near-dup pairs with label blocking (the LSH-bucket analog)",
 )
 def q16(spark, sf_dir):
+    # r6: the label-blocked self-join + interpreted per-pair fold (2M pairs
+    # × 2×dim lambda calls at sf1.0 = 232 s) is replaced by sim.pairwise_near's
+    # vectorized kernel — BLAS prefilter + bit-exact sequential-fold
+    # recompute, one Arrow batch per label block. Rows are bit-identical
+    # (same fold, same rounding, rounding still applied JVM-side).
+    from .sim import pairwise_near
+
     e = _t(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-    ).withColumn("nrm", F.sqrt(_dot_expr("e", "e")))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    cos = _dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(cos >= _COS_PAIR_TAU)
-        .select("vec_a", "vec_b", F.round(cos, 9).cast("double").alias("cosine"))
-    )
+    out = pairwise_near(e, tau=_COS_PAIR_TAU, vec_col="embedding",
+                        id_col="vec_id", block_col="label")
+    return out.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
+        F.round("cosine", 9).cast("double").alias("cosine"))
 
 
 # --------------------------------------------------------------------------

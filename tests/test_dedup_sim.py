@@ -469,3 +469,132 @@ def test_cc_converges_when_diameter_equals_max_iter(spark):
     assert got == {(i, 0) for i in range(6)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=4)
+
+
+# ---------------------------------------------------------------------------
+# r6 kernel equivalence: the vectorized pairwise_near / assignment kernels
+# must be BIT-identical to the r5 SQL join + sequential-fold plans
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_near_sql_reference(df, *, tau, block_col, id_col="vec_id",
+                                 vec_col="embedding"):
+    """The r5 implementation (self-join on the block key + interpreted
+    aggregate/zip_with fold), kept verbatim as the equivalence reference."""
+    from webextract.sim import _dot, _norm
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn("nrm", _norm("e"))
+    a = v.select(F.col("id").alias("id_a"), F.col("blk"),
+                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("blk"),
+                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .distinct()
+    )
+
+
+def test_pairwise_near_kernel_bit_identical_to_sql_join(spark):
+    """Random float32 vectors over a few blocks: the numpy kernel's pair set
+    AND unrounded cosine doubles must equal the SQL join+fold's exactly."""
+    r = random.Random("r6-kernel")
+    rows = [(i, i % 5, [r.gauss(0, 1) for _ in range(17)])
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    for tau in (0.0, 0.2, 0.5):
+        new = {(x.id_a, x.id_b, x.cosine)
+               for x in pairwise_near(df, tau=tau,
+                                      block_col="label").collect()}
+        ref = {(x.id_a, x.id_b, x.cosine)
+               for x in _pairwise_near_sql_reference(
+                   df, tau=tau, block_col="label").collect()}
+        assert new == ref and new  # exact doubles, non-empty
+
+
+def test_pairwise_near_kernel_threshold_boundary_exact(spark):
+    """tau set to an EXACT pair cosine: the >= must include the boundary
+    pair, proving the kernel recomputes with the same fold (a BLAS-only
+    cosine would differ in the last ulp and flip the comparison)."""
+    r = random.Random("r6-boundary")
+    rows = [(i, 0, [r.gauss(0, 1) for _ in range(33)]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    some = sorted(
+        (x.cosine, x.id_a, x.id_b)
+        for x in pairwise_near(df, tau=-2.0, block_col="label").collect())
+    tau, ia, ib = some[len(some) // 2]  # a mid-distribution exact cosine
+    got = {(x.id_a, x.id_b)
+           for x in pairwise_near(df, tau=tau, block_col="label").collect()}
+    ref = {(x.id_a, x.id_b)
+           for x in _pairwise_near_sql_reference(
+               df, tau=tau, block_col="label").collect()}
+    assert (ia, ib) in got
+    assert got == ref
+
+
+def test_pairwise_near_kernel_edge_rows_match_sql(spark):
+    """NULL vectors, empty arrays, ragged lengths, NULL block keys: the
+    kernel must reproduce the SQL join's edge semantics (none of these rows
+    ever emits a pair; same-length clean rows still do)."""
+    rows = [
+        (1, 0, [1.0, 2.0, 3.0]),
+        (2, 0, [1.0, 2.0, 3.0]),     # pairs with 1
+        (3, 0, None),                # NULL vector: no pairs
+        (4, 0, []),                  # zero norm: NULL cosine, no pairs
+        (5, 0, [1.0, 2.0]),          # ragged: NULL fold vs len-3 rows
+        (6, 0, [1.0, 2.0]),          # ...but pairs with 5
+        (7, None, [1.0, 2.0, 3.0]),  # NULL block never joins
+        (8, 1, [0.5, 0.5, 0.5]),     # lone row in its block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    new = {(x.id_a, x.id_b, x.cosine)
+           for x in pairwise_near(df, tau=0.9, block_col="label").collect()}
+    ref = {(x.id_a, x.id_b, x.cosine)
+           for x in _pairwise_near_sql_reference(
+               df, tau=0.9, block_col="label").collect()}
+    assert new == ref
+    assert {(a, b) for a, b, _ in new} == {(1, 2), (5, 6)}
+
+
+def test_ivf_assign_pandas_exact_matches_fold_expr(spark):
+    """Vectorized IVF assignment == the CASE-chain fold expression on
+    random data, exact ties (first-max), and NULL/ragged vectors."""
+    from webextract.sim import ivf_assign_expr, ivf_assign_pandas_exact
+
+    r = random.Random("r6-assign")
+    cents = [[r.gauss(0, 1) for _ in range(9)] for _ in range(6)]
+    # normalize like ivf_snapshot does
+    cents = [[x / (sum(y * y for y in c) ** 0.5) for x in c] for c in cents]
+    rows = [(i, [r.gauss(0, 1) for _ in range(9)]) for i in range(200)]
+    rows += [(900, cents[2][:]),          # exact centroid hit
+             (901, None),                 # NULL vector → otherwise(C-1)
+             (902, [1.0, 2.0]),           # ragged → otherwise(C-1)
+             (903, [0.0] * 9)]            # all-zero → all dots 0.0 → cell 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(
+        "vec_id",
+        ivf_assign_expr(cents).alias("a"),
+        ivf_assign_pandas_exact(cents).alias("b")).collect()
+    assert all(x.a == x.b for x in got)
+    assert {x.b for x in got if x.vec_id in (901, 902)} == {len(cents) - 1}
+
+
+def test_lsh_bucket_pandas_matches_sql_fold(spark):
+    from webextract.sim import lsh_bucket_col, lsh_bucket_pandas
+
+    r = random.Random("r6-lsh")
+    dim = 21
+    rows = [(i, [r.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(
+        lsh_bucket_col("embedding", dim, 6, 7).alias("a"),
+        lsh_bucket_pandas(dim, 6, 7)(F.col("embedding")).alias("b")).collect()
+    assert all(x.a == x.b for x in got)
