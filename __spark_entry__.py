@@ -151,7 +151,11 @@ def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     pages, _ = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    ex = extract_df(pages, num_partitions=16)
+    # r6: splittable parquet source → no repartition (the documented
+    # production path: scan splits bound per-task bytes, ONE fused stage,
+    # Python workers busy from t=0); the skew path stays exercised by
+    # entry() and the q94 runner. Rows are identical either way.
+    ex = extract_df(pages, repartition=False)
     (ex.select("url", "status", "content_type", "n_blocks", "text")
      .write.mode("overwrite").parquet(os.path.join(_Q90_LAND, "extracted")))
     landed = spark.read.parquet(os.path.join(_Q90_LAND, "extracted"))
@@ -218,7 +222,8 @@ def _q_extract_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     pages, truth = _corpus_df(spark, max(60, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
-    extracted = extract_df(pages, num_partitions=16).filter(F.col("status") == "ok")
+    # r6: splittable source → repartition=False (see q90)
+    extracted = extract_df(pages, repartition=False).filter(F.col("status") == "ok")
     (extracted.select("url", "text", "spans", "status")
      .write.mode("overwrite").parquet(os.path.join(_Q91_LAND, "extracted")))
     (truth.select("url", "expected_text", "expected_spans")
@@ -932,7 +937,7 @@ def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     n = max(60, min(800, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
     pages, _ = _corpus_df(spark, n)
-    ok, _ = split_errors(extract_df(pages, num_partitions=8))
+    ok, _ = split_errors(extract_df(pages, repartition=False))
     shutil.rmtree(_Q62_LAND, ignore_errors=True)
     (ok.select("url", "text", "spans")
        .write.mode("overwrite").parquet(os.path.join(_Q62_LAND, "input")))
@@ -1011,7 +1016,7 @@ def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     n = max(60, min(800, int(_CORPUS_BASE_DOCS * _sf_of(sf_dir))))
     pages, _ = _corpus_df(spark, n)
-    ok, _ = split_errors(extract_df(pages, num_partitions=8))
+    ok, _ = split_errors(extract_df(pages, repartition=False))
     shutil.rmtree(_Q58_LAND, ignore_errors=True)
     (ok.select("url", "warc_ts", "text", "lang")
        .write.mode("overwrite").parquet(os.path.join(_Q58_LAND, "input")))

@@ -671,6 +671,11 @@ def dup_substring_spans(df: DataFrame, *, k: int = 8, text_col: str = "text",
         .select("id", F.posexplode(gram_str).alias("start", "g"))
         .select("id", "start", fn(F.col("g")).alias("gh"))
     )
+    # r6: one explicit exchange on gh shared by the duplicate-gram count
+    # and the semi-join probe (ReusedExchange, guide §2.4) — without it the
+    # gram build + hash evaluates twice, once per consumer. The shuffle
+    # carries (8-byte gh, id, start) only, never gram strings.
+    grams = grams.repartition("gh")
     dup_gh = (grams.groupBy("gh").agg(F.count("*").alias("c"))
               .filter(F.col("c") >= 2).select("gh"))
     pos = grams.join(dup_gh, "gh", "semi").select("id", "start")

@@ -24,8 +24,29 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
+# Driver testdata ships one parquet FILE with one ROW GROUP per table, and
+# Spark cannot split inside a row group — so the scan stage is ONE task no
+# matter the core count, and every per-row-heavy pipeline that runs before
+# its first exchange (gram builds, md5 fingerprints, HOF lambdas, fold dot
+# products) was single-threaded (measured: q39's "zero-exchange" projection
+# spent 4-12 s on one of 32 cores). For the tables whose consumers do
+# ~100x per-row expansion work, spread rows right after the read (guide
+# §2.5, input skew: "one huge unsplittable file — repartition immediately
+# after the read"). Keyed by the table's unique id → deterministic under
+# retries (never rand), uniform, no pre-shuffle sort; partition count
+# follows the session's parallelism, not a constant. The wide fact tables
+# (lineitem/orders/events) keep their plain scans: their consumers
+# aggregate/project cheaply per row, where a forced shuffle of the raw
+# rows would cost more than the scan-stage work it parallelizes.
+_SPREAD_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_TABLES.get(name)
+    if key is not None:
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+    return df
 
 
 @dataclass
@@ -2743,15 +2764,25 @@ def q70(spark, sf_dir):
                      F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
              .select("doc_id",
                      F.pmod(h(F.col("w")), F.lit(_DSIR_BUCKETS)).alias("b")))
-    raw = words.groupBy("b").agg(F.count("*").alias("raw_c"))
-    tgt = (words.filter(F.pmod("doc_id", F.lit(_DSIR_TARGET_MOD)) == 0)
-           .groupBy("b").agg(F.count("*").alias("tgt_c")))
+    # r6: raw and tgt counts in ONE aggregation pass (guide §2.4 — the two
+    # separate aggregates re-evaluated the explode+md5 token stream twice
+    # and joined twice); a bucket with no target tokens now carries
+    # tgt_c = 0, exactly what coalesce(tgt_c, 0) produced after the old
+    # left join, so the integer scores are unchanged.
+    # The explicit repartition("b") gives the stats aggregate and the
+    # per-doc scoring pass ONE shared exchange (ReusedExchange): the
+    # explode+md5 token stream evaluates once instead of twice, for one
+    # extra ~16-byte-per-token shuffle.
+    words = words.repartition("b")
+    stats = words.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.pmod("doc_id", F.lit(_DSIR_TARGET_MOD)) == 0, 1)
+              .otherwise(0)).alias("tgt_c"))
     return (
-        words.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
+        words.join(F.broadcast(stats), "b")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_tokens"),
-             F.expr("sum(((coalesce(tgt_c, 0) + 1) * 1000000) div "
+             F.expr("sum(((tgt_c + 1) * 1000000) div "
                     "(raw_c + 1)) div count(*)")
              .cast("long").alias("weight_x1e6"))
     )

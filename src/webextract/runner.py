@@ -218,8 +218,16 @@ def run_extraction(
 
     for buckets in wave_buckets:
         subset = pages_b.filter(F.col("partition_id").isin(buckets))
-        n_part = shuffle_partitions or max(len(buckets), 1)
-        subset = subset.repartition(n_part, F.col("partition_id"))
+        # r6: extraction parallelism must not be bound to the wave's bucket
+        # count (a 2-wave 8-bucket run used to extract on 4 tasks whatever
+        # the core count — guide §2.5 stragglers). Spread WITHIN buckets by
+        # a deterministic secondary url hash; the write's
+        # partitionBy(partition_id) still lands one dir per bucket, so the
+        # bucket stays the commit unit and re-runs stay idempotent.
+        n_part = shuffle_partitions or max(
+            len(buckets), spark.sparkContext.defaultParallelism)
+        subset = subset.repartition(n_part, F.col("partition_id"),
+                                    F.xxhash64(F.col("url"), F.lit(salt + 1)))
         # the bucket flows through the UDF (no back-join): extract_batches
         # passes an input partition_id column straight to the output.
         # Extraction executes exactly ONCE per wave: all rows (ok + failed)
