@@ -420,7 +420,11 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     labels = vertices.select(F.col(id_col).cast("long").alias("id"),
                              F.col(id_col).cast("long").alias("label"))
     sym = sym.select(F.col("a").cast("long"), F.col("b").cast("long"))
-    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+    # r6: pre-partition the (reused-every-round) edge set by the join key
+    # BEFORE checkpointing — localCheckpoint preserves partitioning, so no
+    # round re-shuffles the edges; only the per-round label groupBy moves
+    # data (guide §2.4: operations keyed the same way share one exchange)
+    sym = sym.repartition("a").localCheckpoint(eager=True)
 
     def _label_sum(df: DataFrame):
         # labels only ever DECREASE, so their exact sum (decimal — no long
@@ -505,16 +509,23 @@ def connected_components_star(edges: DataFrame, *, src: str = "id_a",
     prev = _sig(e)
     converged = False
     for _ in range(max_iter + 1):  # +1: the no-change verification round
+        # r6 plan shape: each star phase keys ALL its operations on one
+        # explicit repartition — the min-aggregate, the join back, and the
+        # dedup all satisfy their distribution from the same exchange
+        # (ReusedExchange), so a round moves data twice (once per phase)
+        # instead of ~5 times. HashPartitioning on a PREFIX of the distinct
+        # keys still satisfies the dedup's clustering requirement.
         # --- large-star ---------------------------------------------------
-        nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        nbr = (e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+            .repartition("u"))
         m = nbr.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
         large = (nbr.join(m, "u")
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
                  .filter(F.col("hi") != F.col("lo")))
-        e1 = large.distinct()
+        e1 = large.repartition("hi").distinct()
         # --- small-star (edges already directed hi > lo) ------------------
         mm = e1.groupBy("hi").agg(F.min("lo").alias("m"))
         j = e1.join(mm, "hi")
@@ -524,7 +535,7 @@ def connected_components_star(edges: DataFrame, *, src: str = "id_a",
                  .filter(F.col("x") != F.col("y"))
                  .select(F.greatest("x", "y").alias("hi"),
                          F.least("x", "y").alias("lo")))
-        e = small.distinct().localCheckpoint(eager=True)
+        e = small.repartition("hi").distinct().localCheckpoint(eager=True)
         cur = _sig(e)
         if cur == prev:
             converged = True

