@@ -1903,8 +1903,12 @@ def q26(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    # r6: assign="exact" — the vectorized bit-identical kernels (same
+    # sequential folds, same first-argmax) instead of the interpreted
+    # CASE-chain + per-row fold scoring; the oracle SQL still mirrors the
+    # "fold" expression form, which these kernels reproduce bit-for-bit
     out = ivf_topk(e, q, k=_IVF_K, nprobe=_IVF_NPROBE,
-                   centroids=IVF_CENTROIDS_SF001, assign="fold")
+                   centroids=IVF_CENTROIDS_SF001, assign="exact")
     return out.select("vec_id", "cell",
                       F.round("cosine", 9).cast("double").alias("cosine"))
 

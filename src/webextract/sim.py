@@ -92,7 +92,11 @@ def ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
     probed buckets.
     """
     dim = len(query_vec)
-    bucketed = df.withColumn("bucket", lsh_bucket_col(vec_col, dim, n_planes, seed))
+    # r6: vectorized bucket + scoring kernels — bit-identical to the SQL
+    # fold expressions (see lsh_bucket_pandas / cosine_vs_query_exact),
+    # one Arrow pass instead of per-row interpreted folds
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_pandas(dim, n_planes, seed)(F.col(vec_col)))
     # query bucket, computed driver-side with the same planes
     qcode = 0
     for p in range(n_planes):
@@ -101,9 +105,8 @@ def ann_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
         qcode |= (1 if proj > 0 else 0) << p
     probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qcode))) <= probe_hamming
     cand = bucketed.filter(probe)
-    scored = cand.withColumn("qv", _lit_vec(query_vec)).withColumn(
-        "cosine", _dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv"))
-    )
+    scored = cand.withColumn(
+        "cosine", cosine_vs_query_exact(query_vec, vec_col))
     return (
         scored.select(id_col, "bucket", "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -212,6 +215,43 @@ def ivf_assign_pandas_exact(centroids: list[list[float]],
     return _assign(F.col(vec_col))
 
 
+def cosine_vs_query_exact(query_vec: list[float], vec_col: str = "embedding"):
+    """Vectorized twin of ``_dot(v, qv)/(_norm(v)*_norm(qv))`` against a
+    literal query — bit-identical doubles (sequential folds via cumsum),
+    including the SQL edge semantics: NULL for NULL/ragged vectors (the
+    zip_with NULL tail) and for a zero denominator (Spark x/0 → NULL);
+    NaN data propagates as NaN."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(np.cumsum(q * q)[-1])) if q.size else 0.0
+
+    @pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        arrs = v.to_numpy()
+        ok = np.fromiter(
+            (w is not None and len(w) == q.size for w in arrs),
+            dtype=bool, count=n)
+        out: list = [None] * n
+        if ok.any():
+            E = np.stack([np.asarray(w, dtype=np.float64) for w in arrs[ok]])
+            dots = (np.cumsum(E * q[None, :], axis=1)[:, -1]
+                    if q.size else np.zeros(E.shape[0]))
+            nrm = (np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+                   if q.size else np.zeros(E.shape[0]))
+            denom = nrm * qn
+            idxs = np.nonzero(ok)[0]
+            for j, i in enumerate(idxs):
+                d = denom[j]
+                out[i] = None if d == 0 else float(dots[j] / d)
+        return pd.Series(out, dtype=object)
+
+    return _cos(F.col(vec_col))
+
+
 def kmeans_centroids(df: DataFrame, *, n_centroids: int = 8, n_iter: int = 3,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      seed: int = 7) -> list[list[float]]:
@@ -272,7 +312,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
     if centroids is None:
         centroids = kmeans_centroids(df, n_centroids=n_centroids, n_iter=n_iter,
                                      vec_col=vec_col, id_col=id_col, seed=seed)
-    if assign == "fold":
+    if assign in ("fold", "exact"):
         qv = [float(x) for x in query_vec]
         dots = []
         for i, c in enumerate(centroids):
@@ -281,7 +321,21 @@ def ivf_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
                 s += float(x) * y
             dots.append((s, i))
         probes = [i for _, i in sorted(dots, key=lambda t: (-t[0], t[1]))[:nprobe]]
-        cell = ivf_assign_expr(centroids, vec_col)
+        # "exact" (r6): the vectorized kernels — bit-identical cells and
+        # cosines (sequential folds via cumsum), one Arrow pass instead of
+        # the O(C²·dim) interpreted CASE chain + per-row fold expressions;
+        # "fold" keeps the all-JVM expression plan the oracle SQL mirrors.
+        cell = (ivf_assign_pandas_exact(centroids, vec_col)
+                if assign == "exact" else ivf_assign_expr(centroids, vec_col))
+        if assign == "exact":
+            cand = df.withColumn("cell", cell).filter(F.col("cell").isin(probes))
+            scored = cand.withColumn(
+                "cosine", cosine_vs_query_exact(query_vec, vec_col))
+            return (
+                scored.select(id_col, "cell", "cosine")
+                .orderBy(F.col("cosine").desc(), F.col(id_col))
+                .limit(k)
+            )
     else:
         cm = np.asarray(centroids, dtype=np.float64)
         cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)

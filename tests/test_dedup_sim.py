@@ -598,3 +598,45 @@ def test_lsh_bucket_pandas_matches_sql_fold(spark):
         lsh_bucket_col("embedding", dim, 6, 7).alias("a"),
         lsh_bucket_pandas(dim, 6, 7)(F.col("embedding")).alias("b")).collect()
     assert all(x.a == x.b for x in got)
+
+
+def test_ivf_topk_exact_assign_matches_fold(spark):
+    """assign='exact' (vectorized kernels) must return the identical rows —
+    ids, cells, and unrounded cosine doubles — as assign='fold' (the
+    all-JVM expression plan the oracle SQL mirrors)."""
+    from webextract.sim import ivf_topk
+
+    r = random.Random("r6-ivf-exact")
+    cents = [[r.gauss(0, 1) for _ in range(8)] for _ in range(5)]
+    cents = [[x / (sum(y * y for y in c) ** 0.5) for x in c] for c in cents]
+    rows = [(i, [r.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]
+    a = ivf_topk(df, q, k=25, nprobe=2, centroids=cents,
+                 assign="fold").collect()
+    b = ivf_topk(df, q, k=25, nprobe=2, centroids=cents,
+                 assign="exact").collect()
+    assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+
+def test_cosine_vs_query_exact_matches_fold_expr(spark):
+    from pyspark.sql import functions as F
+
+    from webextract.sim import _dot, _lit_vec, _norm, cosine_vs_query_exact
+
+    r = random.Random("r6-cosq")
+    rows = [(i, [r.gauss(0, 1) for _ in range(11)]) for i in range(200)]
+    rows += [(900, None), (901, []), (902, [1.0, 2.0])]  # NULL/zero/ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    ref = (df.withColumn("qv", _lit_vec(q))
+           .withColumn("e", F.expr(
+               "transform(embedding, x -> CAST(x AS DOUBLE))"))
+           .select("vec_id",
+                   (_dot("e", "qv") / (_norm("e") * _norm("qv")))
+                   .alias("c")))
+    got = df.select("vec_id", cosine_vs_query_exact(q).alias("c"))
+    a = {(x.vec_id, x.c) for x in ref.collect()}
+    b = {(x.vec_id, x.c) for x in got.collect()}
+    assert a == b
+    assert (900, None) in b and (901, None) in b and (902, None) in b
