@@ -682,14 +682,16 @@ def dup_substring_spans(df: DataFrame, *, k: int = 8, text_col: str = "text",
         .select("id", F.posexplode(gram_str).alias("start", "g"))
         .select("id", "start", fn(F.col("g")).alias("gh"))
     )
-    # r6: one explicit exchange on gh shared by the duplicate-gram count
-    # and the semi-join probe (ReusedExchange, guide §2.4) — without it the
-    # gram build + hash evaluates twice, once per consumer. The shuffle
-    # carries (8-byte gh, id, start) only, never gram strings.
-    grams = grams.repartition("gh")
-    dup_gh = (grams.groupBy("gh").agg(F.count("*").alias("c"))
-              .filter(F.col("c") >= 2).select("gh"))
-    pos = grams.join(dup_gh, "gh", "semi").select("id", "start")
+    # r6: repeated-gram positions via a whole-partition window count over
+    # gh instead of aggregate + semi-join — the join form evaluated the
+    # gram build + hash TWICE (once per consumer; the optimizer pushes a
+    # left-semi join below any explicit repartition, so the exchange can't
+    # be shared) and broadcast the duplicated-gram set, which grows with
+    # corpus duplication. One evaluation, one shuffle keyed on the 8-byte
+    # gh (never gram strings), no broadcast.
+    pos = (grams
+           .withColumn("_c", F.count("*").over(W.partitionBy("gh")))
+           .filter(F.col("_c") >= 2).select("id", "start"))
 
     w_prev = (W.partitionBy("id").orderBy("start")
               .rowsBetween(W.unboundedPreceding, -1))

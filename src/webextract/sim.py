@@ -1,6 +1,11 @@
 """Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
 
-All-JVM implementations over an ``array<float>`` embedding column:
+Implementations over an ``array<float>`` embedding column. Float semantics
+are pinned to the sequential left fold everywhere (Spark
+``aggregate``/``zip_with`` ≡ DuckDB ``list_dot_product``); since r6 the hot
+paths compute that fold VECTORIZED in Arrow batches (``np.cumsum`` is
+bit-identical to the fold — see the kernel notes below), while the all-JVM
+expression forms remain for the oracle-SQL derivations:
 
 - :func:`cosine_topk`      — exact top-k vs a query vector (the baseline);
   sequential-fold dot products (``aggregate``/``zip_with``) so results are
